@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Canonical session factory for the graft engine: wires in the RPT
+ * optimizer extension and the scale-oriented defaults (AQE on, shuffle
+ * partitions sized to the local core count rather than 200, Spark's own
+ * single-hop runtime bloom filter off so it doesn't double-filter what the
+ * multi-hop RPT rule already handles).
+ */
+object GraftSession {
+  def build(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      shufflePartitions: Int =
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", classOf[rpt.RptExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long, converted in
+      // loadTables (Spark has no nanosecond timestamp type)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** All fixture tables of one scale-factor directory, as temp views. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def loadTables(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions._
+    tableNames.map { name =>
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // ts arrives as nanos-since-epoch long (nanosAsLong); expose as a real
+      // microsecond timestamp so time functions work
+      val df = if (name == "events") {
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      } else raw
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
+}

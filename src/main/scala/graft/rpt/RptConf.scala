@@ -1,0 +1,50 @@
+package graft.rpt
+
+import org.apache.spark.sql.internal.SQLConf
+
+/**
+ * Session-level settings for Robust Predicate Transfer, mirroring the
+ * reference extension's settings surface
+ * (reference: src/rpt_extension.cpp:56-69 — `rpt_profiling`,
+ * `rpt_display_dag`, `rpt_filter_type`, `rpt_pass_mode`, `rpt_heuristic`,
+ * `rpt_flip_roots`).
+ *
+ * All read through [[SQLConf]] so `spark.conf.set(...)` takes effect
+ * per-query without session restart.
+ */
+object RptConf {
+  val ENABLED = "spark.graft.rpt.enabled"
+  /** `largestRoot` (MST rooted at largest table) | `joinOrder` (DAG from the
+   *  optimized join tree). Reference: rpt_extension.cpp:66-67. */
+  val HEURISTIC = "spark.graft.rpt.heuristic"
+  /** `both` | `forwardOnly`. Reference: rpt_extension.cpp:64-65. */
+  val PASS_MODE = "spark.graft.rpt.passMode"
+  /** `all` | `bfOnly` | `minmaxOnly`. Reference: rpt_extension.cpp:62-63. */
+  val FILTER_TYPE = "spark.graft.rpt.filterType"
+  /** Skip the rewrite when the join graph has fewer equi-join edges than
+   *  this. Reference bails at <=1 edge (rpt_optimizer.cpp:1593-1595). */
+  val MIN_EDGES = "spark.graft.rpt.minEdges"
+  /** Log an ASCII transfer tree per query (reference: rpt_display_dag). */
+  val DISPLAY_DAG = "spark.graft.rpt.displayDag"
+  /** Cap on estimated distinct items used to size each bloom filter. */
+  val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
+  /** Default estimated items when the build side has no row-count stats. */
+  val DEFAULT_BF_ITEMS = "spark.graft.rpt.defaultBloomFilterItems"
+
+  def enabled(conf: SQLConf): Boolean =
+    conf.getConfString(ENABLED, "true").toBoolean
+  def heuristic(conf: SQLConf): String =
+    conf.getConfString(HEURISTIC, "largestRoot")
+  def passMode(conf: SQLConf): String =
+    conf.getConfString(PASS_MODE, "both")
+  def filterType(conf: SQLConf): String =
+    conf.getConfString(FILTER_TYPE, "all")
+  def minEdges(conf: SQLConf): Int =
+    conf.getConfString(MIN_EDGES, "2").toInt
+  def displayDag(conf: SQLConf): Boolean =
+    conf.getConfString(DISPLAY_DAG, "false").toBoolean
+  def maxBfItems(conf: SQLConf): Long =
+    conf.getConfString(MAX_BF_ITEMS, "4000000").toLong
+  def defaultBfItems(conf: SQLConf): Long =
+    conf.getConfString(DEFAULT_BF_ITEMS, "1000000").toLong
+}

@@ -1,0 +1,21 @@
+package graft.rpt
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Session-extension entry point — the analog of the reference's extension
+ * load hook (src/rpt_extension.cpp:44-69). Register with
+ * `spark.sql.extensions=graft.rpt.RptExtensions` or
+ * `SparkSession.builder().withExtensions(new RptExtensions)`.
+ *
+ * The rule is injected as an operator-optimization rule so it observes a
+ * plan with filters already pushed and joins already ordered — the same
+ * placement as the reference's OptimizerExtension (after DuckDB's own
+ * optimizer, rpt_optimizer.cpp:1702-1722). An internal guard keeps it
+ * idempotent across fixed-point iterations.
+ */
+class RptExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => PredicateTransferRule())
+  }
+}

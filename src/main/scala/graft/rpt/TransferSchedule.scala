@@ -1,0 +1,154 @@
+package graft.rpt
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * One unit of plan modification: unit `build` materializes a bloom filter
+ * over `buildKeys`; unit `probe` is filtered by membership of `probeKeys`.
+ * Ops are ORDERED — applying them sequentially, with each build reading the
+ * probe-filtered-so-far plan of its unit, is what makes the transfer
+ * transitive (the reference's stacked CREATE_BF/USE_BF pipeline deps,
+ * src/optimizer/graph_manager.hpp:46-57).
+ */
+case class ScheduledOp(
+    build: Int,
+    buildKeys: Seq[Expression],
+    probe: Int,
+    probeKeys: Seq[Expression],
+    forward: Boolean)
+
+/**
+ * Builds the transfer schedule from a [[JoinGraph]].
+ *
+ * `largestRoot` heuristic (reference default): Prim's MAXIMUM spanning tree
+ * per connected component — edge weight = #equi-conditions, ties broken by
+ * the larger `min(card(a), card(b))` — rooted at the largest-cardinality
+ * table, then a forward (leaves→root) and backward (root→leaves) pass over
+ * the rooted tree; within a BFS level nodes are processed smallest
+ * cardinality first. An approximation of Yannakakis' full reducer.
+ * (reference: LargestRoot rpt_optimizer.cpp:215-276, BuildRootedTree
+ * :278-376, GenerateStageModifications :826-995.)
+ */
+object TransferSchedule {
+
+  def largestRoot(g: JoinGraph, passMode: String): Seq[ScheduledOp] = {
+    if (g.units.size < 2 || g.edges.isEmpty) return Nil
+    val n = g.units.size
+
+    // adjacency: unit -> edge indices
+    val adj = Array.fill(n)(mutable.ArrayBuffer[Int]())
+    g.edges.zipWithIndex.foreach { case (e, i) =>
+      adj(e.a) += i
+      adj(e.b) += i
+    }
+
+    val inTree = Array.fill(n)(false)
+    val visitedComponent = Array.fill(n)(false)
+    val ops = mutable.ArrayBuffer[ScheduledOp]()
+
+    // process components largest-root-first until all edge-connected units
+    // are covered
+    val order = g.units.sortBy(-_.card).map(_.id)
+    for (start <- order if !visitedComponent(start) && adj(start).nonEmpty) {
+      val (parentOf, depth, members) = primTree(g, adj, start, inTree)
+      members.foreach(visitedComponent(_) = true)
+      ops ++= schedulePasses(g, parentOf, depth, members, passMode)
+    }
+    ops.toSeq
+  }
+
+  /** Prim's max-ST from `root`; returns (parent edge per unit, BFS depth,
+   *  members). Tie-break: larger min-cardinality of the endpoints
+   *  (reference: rpt_optimizer.cpp:215-276). */
+  private def primTree(
+      g: JoinGraph,
+      adj: Array[mutable.ArrayBuffer[Int]],
+      root: Int,
+      inTree: Array[Boolean]): (Map[Int, JoinEdge], Map[Int, Int], Seq[Int]) = {
+    val parentOf = mutable.HashMap[Int, JoinEdge]() // child -> edge to parent
+    val parent = mutable.HashMap[Int, Int]()
+    val members = mutable.ArrayBuffer[Int](root)
+    inTree(root) = true
+
+    def better(e1: JoinEdge, e2: JoinEdge): Boolean = {
+      if (e1.weight != e2.weight) e1.weight > e2.weight
+      else {
+        val m1 = math.min(g.units(e1.a).card, g.units(e1.b).card)
+        val m2 = math.min(g.units(e2.a).card, g.units(e2.b).card)
+        m1 > m2
+      }
+    }
+
+    var continue = true
+    while (continue) {
+      // max-weight edge from tree to non-tree
+      var best: Option[(JoinEdge, Int, Int)] = None // (edge, treeSide, newSide)
+      members.foreach { u =>
+        adj(u).foreach { ei =>
+          val e = g.edges(ei)
+          val v = e.other(u)
+          if (!inTree(v) && best.forall(b => better(e, b._1))) {
+            best = Some((e, u, v))
+          }
+        }
+      }
+      best match {
+        case Some((e, u, v)) =>
+          inTree(v) = true
+          members += v
+          parentOf(v) = e
+          parent(v) = u
+        case None => continue = false
+      }
+    }
+
+    val depth = mutable.HashMap[Int, Int](root -> 0)
+    // members were appended in Prim order; parents always precede children
+    members.drop(1).foreach(v => depth(v) = depth(parent(v)) + 1)
+    (parentOf.toMap, depth.toMap, members.toSeq)
+  }
+
+  /** Forward pass: deepest level first, each node builds a BF over its side
+   *  of the parent edge, the parent is probed. Backward pass: shallowest
+   *  first, parent builds (over its forward-filtered self), child probed.
+   *  Level-internal order: cardinality ascending so the smallest (most
+   *  selective) filters land first (reference: rpt_optimizer.cpp:876-880). */
+  private def schedulePasses(
+      g: JoinGraph,
+      parentOf: Map[Int, JoinEdge],
+      depth: Map[Int, Int],
+      members: Seq[Int],
+      passMode: String): Seq[ScheduledOp] = {
+    if (members.size < 2) return Nil
+    val ops = mutable.ArrayBuffer[ScheduledOp]()
+    val byLevelDesc = members.filter(parentOf.contains)
+      .sortBy(u => (-depth(u), g.units(u).card))
+
+    // forward: child -> parent
+    byLevelDesc.foreach { child =>
+      val e = parentOf(child)
+      val par = e.other(child)
+      if (e.canFilter(par) && g.units(child).buildable) {
+        ops += ScheduledOp(child, e.keysOf(child), par, e.keysOf(par),
+          forward = true)
+      }
+    }
+
+    // backward: parent -> child
+    if (passMode != "forwardOnly") {
+      val byLevelAsc = members.filter(parentOf.contains)
+        .sortBy(u => (depth(u), g.units(u).card))
+      byLevelAsc.foreach { child =>
+        val e = parentOf(child)
+        val par = e.other(child)
+        if (e.canFilter(child) && g.units(par).buildable) {
+          ops += ScheduledOp(par, e.keysOf(par), child, e.keysOf(child),
+            forward = false)
+        }
+      }
+    }
+    ops.toSeq
+  }
+}
