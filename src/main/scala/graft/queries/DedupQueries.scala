@@ -1,0 +1,142 @@
+package graft.queries
+
+import QueryDef._
+
+/**
+ * Deduplication operators over `documents`: exact (hash group-by),
+ * word-shingle Jaccard (shared-shingle join — the exact algorithm),
+ * MinHash+LSH banding, and SimHash fingerprints.
+ *
+ * Portability: the hash everywhere is `md5` reduced to a 60-bit bigint —
+ * `conv(substr(md5(x),1,15),16,10)` in Spark ≡
+ * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` in DuckDB — so even the
+ * MinHash/LSH pipeline is oracle-checkable end to end. (A production run at
+ * 100 TB would swap md5 for xxhash64 — same plan shape, cheaper hash; see
+ * graft.functions.)
+ *
+ * Scale notes: all pair generation goes through equi-joins on
+ * shingle/band keys (shuffle on the key, never a cartesian product);
+ * signatures are fixed-width aggregates per doc_id.
+ */
+object DedupQueries {
+
+  private val sparkShingles =
+    """SELECT DISTINCT doc_id, concat_ws(' ', slice(w, i, 3)) AS shingle
+      |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) d
+      |LATERAL VIEW explode(sequence(1, greatest(size(w) - 2, 0))) t AS i""".stripMargin
+
+  private val duckShingles =
+    """SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |     generate_series(1, greatest(len(w) - 2, 0)) AS t(i)""".stripMargin
+
+  private val sparkHash60 =
+    "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+  private val duckHash60 =
+    "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact dedup: group-size histogram of identical texts
+    common("d01_exact_dedup",
+      """SELECT dup_count, count(*) AS n_groups
+        |FROM (SELECT md5(text) AS h, count(*) AS dup_count
+        |      FROM documents GROUP BY md5(text)) g
+        |GROUP BY dup_count""".stripMargin),
+
+    // exact dedup survivors: smallest doc_id per distinct text, per source
+    common("d02_exact_survivors",
+      """SELECT source, count(*) AS n_survivors, min(keep_id) AS first_keep
+        |FROM (SELECT source, md5(text) AS h, min(doc_id) AS keep_id
+        |      FROM documents GROUP BY source, md5(text)) s
+        |GROUP BY source""".stripMargin),
+
+    // exact n-gram Jaccard via shared-shingle equi-join (no LSH, no
+    // cartesian): candidates share >=1 shingle; emit integer set sizes
+    dialect("d03_ngram_jaccard",
+      s"""WITH sh AS ($sparkShingles),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter_cnt,
+         |       sa.sz + sb.sz - inter_cnt AS union_cnt
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin,
+      s"""WITH sh AS ($duckShingles),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter_cnt,
+         |       sa.sz + sb.sz - inter_cnt AS union_cnt
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin),
+
+    // MinHash (8 permutations) + LSH (4 bands of 2): candidate pairs
+    dialect("d04_minhash_lsh",
+      s"""WITH sh AS ($sparkShingles),
+         |hs AS (
+         |  SELECT doc_id, seed,
+         |         min(${sparkHash60.format("concat(seed, ':', shingle)")}) AS mh
+         |  FROM sh LATERAL VIEW explode(sequence(0, 7)) s AS seed
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(seed / 2 AS INT) AS band,
+         |         concat(min(CASE WHEN seed % 2 = 0 THEN mh END), ':',
+         |                min(CASE WHEN seed % 2 = 1 THEN mh END)) AS sig
+         |  FROM hs GROUP BY doc_id, CAST(seed / 2 AS INT))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+      s"""WITH sh AS ($duckShingles),
+         |hs AS (
+         |  SELECT doc_id, seed,
+         |         min(${duckHash60.format("seed || ':' || shingle")}) AS mh
+         |  FROM sh, generate_series(0, 7) AS s(seed)
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |         concat(min(CASE WHEN seed % 2 = 0 THEN mh END), ':',
+         |                min(CASE WHEN seed % 2 = 1 THEN mh END)) AS sig
+         |  FROM hs GROUP BY doc_id, CAST(seed // 2 AS INT))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
+
+    // SimHash: 48-bit locality-sensitive fingerprint per document
+    dialect("d05_simhash",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
+         |th AS (SELECT doc_id, ${sparkHash60.format("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM th LATERAL VIEW explode(sequence(0, 47)) b AS j
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       sum(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+         |                ELSE CAST(0 AS BIGINT) END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${duckHash60.format("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM th, generate_series(0, 47) AS b(j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                ELSE CAST(0 AS BIGINT) END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+
+/**
+ * One declared capability: a Spark query over the fixture tables plus (when
+ * SQL-expressible) an equivalent DuckDB oracle query. The driver hash-
+ * compares both result sets — column NAMES must match, value types should
+ * be hash-stable across engines (bigint/string/date; no raw double sums).
+ */
+case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Registers the fixture tables of `sfDir` as temp views (idempotent). */
+  def views(spark: SparkSession, sfDir: String): Unit = {
+    GraftSession.loadTables(spark, sfDir)
+  }
+
+  /** Same SQL text runs on both engines. */
+  def common(name: String, sql: String): QueryDef =
+    QueryDef(name,
+      (spark, sfDir) => { views(spark, sfDir); spark.sql(sql) },
+      Some(sql))
+
+  /** Different dialects, same semantics. */
+  def dialect(name: String, sparkSql: String, duckSql: String): QueryDef =
+    QueryDef(name,
+      (spark, sfDir) => { views(spark, sfDir); spark.sql(sparkSql) },
+      Some(duckSql))
+
+  /** No SQL oracle (driver records a weaker rows-only check). */
+  def sparkOnly(name: String,
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, (spark, sfDir) => { views(spark, sfDir); fn(spark, sfDir) },
+      None)
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/**
+ * The relational query surface: everything the reference workload exercises
+ * (SURVEY.md §2.3 — pushed-down scans, up-to-17-table equi joins, global
+ * MIN aggregates, projections) plus the operator classes the reference's
+ * optimizer traverses as barriers/transparent nodes (§2.2 — grouped/global
+ * aggregates, outer/semi/anti joins, set ops, windows, limits).
+ *
+ * Multi-join queries here are the RPT showcase: with
+ * `spark.graft.rpt.enabled=true` (GraftSession default) they run with
+ * bloom-filter predicate transfer injected; results must stay byte-identical
+ * to the DuckDB oracle — the same differential protocol as the reference's
+ * `test_job_queries.sh`.
+ *
+ * Determinism rules for oracle comparability: money sums are computed as
+ * `sum(cast(floor(x * 100) as bigint))` (exact integer arithmetic, no float
+ * accumulation-order sensitivity); int outputs are cast to BIGINT on both
+ * engines; timestamps are reduced to dates or epoch microseconds.
+ */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- scans, filters, projections (pushdown surface) ----
+    common("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        |       count(*) AS count_order,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    common("q02_filter_pushdown",
+      """SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |  AND p_type LIKE '%a%'
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND p_retailprice > 500.0
+        |  AND p_name IS NOT NULL""".stripMargin),
+
+    // ---- joins ----
+    common("q03_join_agg",
+      """SELECT c_mktsegment,
+        |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    common("q04_chain5_rpt",
+      """SELECT n_name,
+        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+
+    common("q05_star_join",
+      """SELECT p_brand,
+        |       count(*) AS n_items,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'O' AND s_acctbal > 0
+        |GROUP BY p_brand""".stripMargin),
+
+    // JOB-style: many joins, selective filters, global MINs
+    common("q06_job_global_min",
+      """SELECT min(o_totalprice) AS min_total,
+        |       min(p_name) AS min_pname,
+        |       min(s_name) AS min_sname
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE p_size < 25 AND o_orderpriority LIKE '1%' AND n_nationkey < 15""".stripMargin),
+
+    common("q07_semi_exists",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderstatus""".stripMargin),
+
+    common("q08_anti_not_exists",
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name""".stripMargin),
+
+    common("q09_left_outer",
+      """SELECT c_mktsegment,
+        |       count(o_orderkey) AS n_orders,
+        |       count(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    common("q10_full_outer",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       count(c_custkey) AS n_cust,
+        |       count(o_orderkey) AS n_ord
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |                 WHERE o_totalprice > 400000) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin),
+
+    // ---- set operations ----
+    common("q11_union",
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier
+        |) t GROUP BY k""".stripMargin),
+
+    common("q12_intersect_except",
+      """SELECT CAST(k AS BIGINT) AS k, src FROM (
+        |  SELECT c_nationkey AS k, 'both' AS src FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS k, 'both' AS src FROM supplier
+        |) a
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT) AS k, src FROM (
+        |  SELECT c_nationkey AS k, 'cust_only' AS src FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS k, 'cust_only' AS src FROM supplier
+        |) b""".stripMargin),
+
+    // ---- window functions ----
+    common("q13_window_rank",
+      """SELECT o_custkey, o_orderkey AS first_order
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |) t WHERE rn = 1""".stripMargin),
+
+    common("q14_window_running",
+      """SELECT o_orderkey,
+        |       sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM orders
+        |WHERE o_custkey < 50""".stripMargin),
+
+    // ---- aggregation shapes ----
+    common("q15_having",
+      """SELECT l_partkey, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 40""".stripMargin),
+
+    common("q16_distinct_agg",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    dialect("q17_rollup",
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
+
+    // ---- subqueries ----
+    common("q18_scalar_subquery",
+      """SELECT count(*) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)""".stripMargin),
+
+    common("q19_in_subquery",
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)""".stripMargin),
+
+    common("q20_correlated_subquery",
+      """SELECT n_name,
+        |       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
+        |FROM nation""".stripMargin),
+
+    // ---- ordering / limits ----
+    common("q21_topk",
+      """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // ---- expressions: case / string / date ----
+    common("q22_case_string",
+      """SELECT upper(substr(c_name, 1, 9)) AS prefix,
+        |       CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class,
+        |       count(*) AS n,
+        |       CAST(sum(length(c_name)) AS BIGINT) AS total_len
+        |FROM customer GROUP BY 1, 2""".stripMargin),
+
+    dialect("q23_date_parts",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       count(*) AS n,
+        |       min(CAST(o_orderdate AS DATE)) AS first_day
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+        |       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+        |       count(*) AS n,
+        |       min(CAST(o_orderdate AS DATE)) AS first_day
+        |FROM orders GROUP BY 1, 2""".stripMargin),
+
+    // ---- events: time bucketing + sessionization (batch analogs of the
+    //      streaming pipeline; ts reduced to epoch micros for comparability)
+    dialect("q24_events_hourly",
+      """SELECT unix_micros(window.start) AS bucket_us, event_type,
+        |       count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |FROM events
+        |GROUP BY window(ts, '1 hour'), event_type""".stripMargin,
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us, event_type,
+        |       count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin),
+
+    dialect("q25_events_sessionize",
+      """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |           CASE WHEN unix_micros(ts) - lag(unix_micros(ts), 1, 0)
+        |                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |    FROM events) a
+        |) b GROUP BY user_id""".stripMargin,
+      """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+        |                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |    FROM events) a
+        |) b GROUP BY user_id""".stripMargin),
+
+    // JSON-ish props column
+    dialect("q26_events_json",
+      """SELECT event_type,
+        |       CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin)
+  )
+}

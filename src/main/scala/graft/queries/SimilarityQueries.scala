@@ -1,0 +1,100 @@
+package graft.queries
+
+import QueryDef._
+
+/**
+ * Similarity search over the `embeddings` table (64-dim float vectors).
+ *
+ * - brute-force cosine top-k: the exactness baseline. Arrays are cast to
+ *   double on BOTH engines and the dot product folds sequentially, so the
+ *   IEEE arithmetic matches bit-for-bit.
+ * - LSH (random-hyperplane) bucketing: the scale path — at 100 TB the
+ *   bucket join replaces the all-pairs product; buckets come from
+ *   md5-derived deterministic hyperplanes so the oracle can re-derive them.
+ *   Only the SIGN of each projection matters, making the bucket assignment
+ *   robust to accumulation-order noise.
+ */
+object SimilarityQueries {
+
+  // cosine(a, b) with double accumulation in list order
+  private def sparkCos(a: String, b: String): String =
+    s"""aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>),
+       |          (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate(CAST($a AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))
+       |    * sqrt(aggregate(CAST($b AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)))""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_zip($a::DOUBLE[], $b::DOUBLE[]).apply(t -> t[1] * t[2]), (acc, v) -> acc + v)
+       | / (sqrt(list_reduce($a::DOUBLE[].apply(v -> v * v), (acc, v) -> acc + v))
+       |    * sqrt(list_reduce($b::DOUBLE[].apply(v -> v * v), (acc, v) -> acc + v)))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // brute-force cosine top-k for a query set (rank only — float values
+    // stay out of the output, ranking ties broken by id)
+    dialect("s01_cosine_topk",
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${sparkCos("q.embedding", "c.embedding")} DESC,
+         |                                     c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20) t
+         |WHERE rank <= 5""".stripMargin,
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+         |                                     c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20) t
+         |WHERE rank <= 5""".stripMargin),
+
+    // near-duplicate vector pairs (label agreement as a sanity signal)
+    dialect("s02_cosine_neardup",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(a.label = b.label AS BOOLEAN) AS same_label
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sparkCos("a.embedding", "b.embedding")} > 0.95""".stripMargin,
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       (a.label = b.label) AS same_label
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.95""".stripMargin),
+
+    // random-hyperplane LSH bucket histogram (8 planes -> 256 buckets).
+    // plane coefficients derived from md5 so both engines agree; only the
+    // projection SIGN is used (robust to fp noise)
+    dialect("s03_lsh_buckets",
+      """WITH coef AS (
+        |  SELECT p, d,
+        |         (CAST(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+        |  FROM (SELECT explode(sequence(0, 7)) AS p) ps
+        |  CROSS JOIN (SELECT explode(sequence(1, 64)) AS d) ds),
+        |proj AS (
+        |  SELECT e.vec_id, c.p,
+        |         sum(CAST(element_at(e.embedding, c.d) AS DOUBLE) * c.c) AS dot
+        |  FROM embeddings e CROSS JOIN coef c
+        |  GROUP BY e.vec_id, c.p),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+        |                  ELSE CAST(0 AS BIGINT) END) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket""".stripMargin,
+      """WITH coef AS (
+        |  SELECT p, d,
+        |         (CAST('0x' || substr(md5(p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+        |  FROM generate_series(0, 7) AS ps(p), generate_series(1, 64) AS ds(d)),
+        |proj AS (
+        |  SELECT e.vec_id, c.p,
+        |         sum(CAST(e.embedding[c.d] AS DOUBLE) * c.c) AS dot
+        |  FROM embeddings e, coef c
+        |  GROUP BY e.vec_id, c.p),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+        |                  ELSE CAST(0 AS BIGINT) END) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket""".stripMargin)
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import QueryDef._
+
+/**
+ * Text-analysis operators over the `documents` table: token counting,
+ * quality scoring, language-ID (stopword-vote heuristic), and document
+ * fingerprinting. All expressed as portable SQL so DuckDB can oracle-check
+ * them; the determinism trick for cross-engine hashes is
+ * `md5()` (identical in both engines) and integer/single-division outputs.
+ *
+ * Scale notes: every query is a scan + explode + hash-aggregate on doc_id —
+ * embarrassingly parallel, no skewed shuffles (doc_id is unique), and the
+ * explode fan-out (~tokens/doc) is bounded.
+ */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // token counting: whitespace tokens + BPE-ish regex word extraction
+    dialect("t01_token_stats",
+      """SELECT doc_id,
+        |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS n_words,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |         / CAST(size(split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin),
+
+    // quality scoring: stopword ratio, distinct-token ratio, length class
+    dialect("t02_quality_score",
+      """SELECT doc_id,
+        |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |       CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+        |       CASE WHEN n_tok < 30 THEN 'short'
+        |            WHEN n_tok < 90 THEN 'medium' ELSE 'long' END AS len_class
+        |FROM (
+        |  SELECT doc_id,
+        |         count(*) AS n_tok,
+        |         count(DISTINCT tok) AS n_distinct,
+        |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'in')
+        |                  THEN 1 ELSE 0 END) AS n_stop
+        |  FROM (SELECT doc_id, tok
+        |        FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
+        |  GROUP BY doc_id
+        |) s""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |       CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+        |       CASE WHEN n_tok < 30 THEN 'short'
+        |            WHEN n_tok < 90 THEN 'medium' ELSE 'long' END AS len_class
+        |FROM (
+        |  SELECT doc_id,
+        |         count(*) AS n_tok,
+        |         count(DISTINCT tok) AS n_distinct,
+        |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'in')
+        |                  THEN 1 ELSE 0 END) AS n_stop
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) e
+        |  GROUP BY doc_id
+        |) s""".stripMargin),
+
+    // language-ID: n-gram/stopword vote heuristic, compared to the label
+    dialect("t03_langid",
+      """SELECT lang, predicted, count(*) AS n
+        |FROM (
+        |  SELECT lang,
+        |         CASE WHEN en >= 1 AND en >= xx THEN 'en'
+        |              WHEN xx >= 1 THEN 'xx' ELSE 'und' END AS predicted
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
+        |           sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+        |    FROM (SELECT doc_id, lang, tok
+        |          FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
+        |    GROUP BY doc_id, lang
+        |  ) v
+        |) p GROUP BY lang, predicted""".stripMargin,
+      """SELECT lang, predicted, count(*) AS n
+        |FROM (
+        |  SELECT lang,
+        |         CASE WHEN en >= 1 AND en >= xx THEN 'en'
+        |              WHEN xx >= 1 THEN 'xx' ELSE 'und' END AS predicted
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
+        |           sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+        |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents) e
+        |    GROUP BY doc_id, lang
+        |  ) v
+        |) p GROUP BY lang, predicted""".stripMargin),
+
+    // document fingerprinting: exact hash + order-insensitive content hash
+    dialect("t04_fingerprint",
+      """SELECT doc_id,
+        |       md5(text) AS exact_fp,
+        |       md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS content_fp
+        |FROM documents""".stripMargin,
+      """SELECT doc_id,
+        |       md5(text) AS exact_fp,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
+        |FROM documents""".stripMargin)
+  )
+}

@@ -19,7 +19,14 @@ object RptConf {
   val HEURISTIC = "spark.graft.rpt.heuristic"
   /** `both` | `forwardOnly`. Reference: rpt_extension.cpp:64-65. */
   val PASS_MODE = "spark.graft.rpt.passMode"
-  /** `all` | `bfOnly` | `minmaxOnly`. Reference: rpt_extension.cpp:62-63. */
+  /** `all` | `bfOnly` | `minmaxOnly`. Reference: rpt_extension.cpp:62-63.
+   *  Default differs from the reference (`all`): in the reference, min/max
+   *  filters are pushed into table scans as zone-map predicates
+   *  (physical_create_bf.cpp:282-350); Spark has no dynamic data-filter
+   *  pushdown into parquet row groups, so min/max subqueries only add
+   *  per-row comparisons + extra subquery jobs (measured ~7x rewrite
+   *  overhead at sf0.01). `bfOnly` keeps the semi-join reduction that
+   *  matters; set `all` for reference-faithful behavior. */
   val FILTER_TYPE = "spark.graft.rpt.filterType"
   /** Skip the rewrite when the join graph has fewer equi-join edges than
    *  this. Reference bails at <=1 edge (rpt_optimizer.cpp:1593-1595). */
@@ -38,7 +45,7 @@ object RptConf {
   def passMode(conf: SQLConf): String =
     conf.getConfString(PASS_MODE, "both")
   def filterType(conf: SQLConf): String =
-    conf.getConfString(FILTER_TYPE, "all")
+    conf.getConfString(FILTER_TYPE, "bfOnly")
   def minEdges(conf: SQLConf): Int =
     conf.getConfString(MIN_EDGES, "2").toInt
   def displayDag(conf: SQLConf): Boolean =
