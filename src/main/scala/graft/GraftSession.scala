@@ -45,7 +45,10 @@ object GraftSession {
       // ts arrives as nanos-since-epoch long (nanosAsLong); expose as a real
       // microsecond timestamp so time functions work
       val df = if (name == "events") {
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // exact integer division: epoch-nanos ~1.7e18 exceed 2^53, so a
+        // double round-trip (col/1000) can shift the microsecond by ±1;
+        // DuckDB truncates exactly, so must we
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else raw
       df.createOrReplaceTempView(name)
       name -> df

@@ -20,15 +20,23 @@ import QueryDef._
  */
 object DedupQueries {
 
+  // docs with <3 tokens produce no shingles (guarded explicitly: Spark's
+  // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
   private val sparkShingles =
     """SELECT DISTINCT doc_id, concat_ws(' ', slice(w, i, 3)) AS shingle
-      |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) d
-      |LATERAL VIEW explode(sequence(1, greatest(size(w) - 2, 0))) t AS i""".stripMargin
+      |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+      |      WHERE size(split(text, ' ')) >= 3) d
+      |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
 
+  // unnest(range(...)) instead of lateral generate_series (DuckDB's binder
+  // rejects lateral column refs in table functions); range(1, n+1) is empty
+  // for n <= 0, so short docs drop out naturally
   private val duckShingles =
     """SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-      |     generate_series(1, greatest(len(w) - 2, 0)) AS t(i)""".stripMargin
+      |FROM (SELECT doc_id, w,
+      |             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents))""".stripMargin
 
   private val sparkHash60 =
     "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
@@ -122,8 +130,8 @@ object DedupQueries {
          |  FROM th LATERAL VIEW explode(sequence(0, 47)) b AS j
          |  GROUP BY doc_id, j)
          |SELECT doc_id,
-         |       sum(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
-         |                ELSE CAST(0 AS BIGINT) END) AS simhash
+         |       CAST(sum(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+         |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -135,8 +143,8 @@ object DedupQueries {
          |  FROM th, generate_series(0, 47) AS b(j)
          |  GROUP BY doc_id, j)
          |SELECT doc_id,
-         |       sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
-         |                ELSE CAST(0 AS BIGINT) END) AS simhash
+         |       CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin)
   )
 }

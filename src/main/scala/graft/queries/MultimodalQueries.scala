@@ -42,13 +42,23 @@ object MultimodalQueries {
       // the fake decode is pure byte arithmetic, so an oracle CAN re-derive
       // it: width/height from the first two bytes, frame count from length,
       // checksum over a stride-16 byte sample
-      Some("""SELECT doc_id,
-        |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
-        |       CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
-        |       CAST(length(text) % 7 + 1 AS BIGINT) AS n_frames,
-        |       CAST((SELECT sum(ascii(substr(d2.text, 1 + (s.i * 16), 1)))
-        |             FROM generate_series(0, CAST((length(d2.text) - 1) / 16 AS BIGINT)) AS s(i))
-        |            AS BIGINT) AS sample_checksum
-        |FROM documents d2""".stripMargin))
+      // unnest(range(...)) in a derived table instead of a correlated
+      // generate_series (DuckDB's binder rejects lateral column refs in
+      // table functions)
+      Some("""WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST((length(text) - 1) / 16 AS BIGINT) + 1)) AS i
+        |  FROM documents),
+        |cs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(ascii(substr(text, CAST(1 + i * 16 AS INT), 1))) AS BIGINT)
+        |           AS sample_checksum
+        |  FROM idx GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS width,
+        |       CAST(ascii(substr(d.text, 2, 1)) AS BIGINT) AS height,
+        |       CAST(length(d.text) % 7 + 1 AS BIGINT) AS n_frames,
+        |       cs.sample_checksum
+        |FROM documents d JOIN cs ON d.doc_id = cs.doc_id""".stripMargin))
   )
 }

@@ -30,8 +30,8 @@ object RelationalQueries {
     common("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |       count(*) AS count_order,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price
@@ -51,7 +51,7 @@ object RelationalQueries {
     // ---- joins ----
     common("q03_join_agg",
       """SELECT c_mktsegment,
-        |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
@@ -59,7 +59,7 @@ object RelationalQueries {
 
     common("q04_chain5_rpt",
       """SELECT n_name,
-        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -71,7 +71,7 @@ object RelationalQueries {
     common("q05_star_join",
       """SELECT p_brand,
         |       count(*) AS n_items,
-        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -154,9 +154,9 @@ object RelationalQueries {
 
     common("q14_window_running",
       """SELECT o_orderkey,
-        |       sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders
         |WHERE o_custkey < 50""".stripMargin),
 
@@ -234,12 +234,12 @@ object RelationalQueries {
     dialect("q24_events_hourly",
       """SELECT unix_micros(window.start) AS bucket_us, event_type,
         |       count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events
         |GROUP BY window(ts, '1 hour'), event_type""".stripMargin,
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us, event_type,
         |       count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events
         |GROUP BY 1, 2""".stripMargin),
 

@@ -16,29 +16,36 @@ import QueryDef._
  */
 object SimilarityQueries {
 
-  // cosine(a, b) with double accumulation in list order
-  private def sparkCos(a: String, b: String): String =
-    s"""aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>),
-       |          (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate(CAST($a AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))
-       |    * sqrt(aggregate(CAST($b AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)))""".stripMargin
+  // cosine(a, b) with double accumulation in list order. The Spark side
+  // uses the codegen'd graft.functions.VectorDot (same strict left fold,
+  // bit-identical to aggregate(zip_with(...)) but ~20× faster): vectors are
+  // cast to double and their norms computed ONCE per row in `e`, so the
+  // per-pair work is a single fused dot-product loop.
+  private val sparkNormalized =
+    """SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm
+      |FROM (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v
+      |      FROM embeddings)""".stripMargin
 
+  // list_transform/list_reduce (the `expr::DOUBLE[].apply(...)` dot syntax
+  // is rejected by DuckDB's parser); list_reduce's seedless left fold equals
+  // Spark's aggregate-with-0.0-seed bit-for-bit since 0.0 + x == x in IEEE
   private def duckCos(a: String, b: String): String =
-    s"""list_reduce(list_zip($a::DOUBLE[], $b::DOUBLE[]).apply(t -> t[1] * t[2]), (acc, v) -> acc + v)
-       | / (sqrt(list_reduce($a::DOUBLE[].apply(v -> v * v), (acc, v) -> acc + v))
-       |    * sqrt(list_reduce($b::DOUBLE[].apply(v -> v * v), (acc, v) -> acc + v)))""".stripMargin
+    s"""list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), t -> t[1] * t[2]), (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_transform($a::DOUBLE[], v -> v * v), (acc, v) -> acc + v))
+       |    * sqrt(list_reduce(list_transform($b::DOUBLE[], v -> v * v), (acc, v) -> acc + v)))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force cosine top-k for a query set (rank only — float values
     // stay out of the output, ranking ties broken by id)
     dialect("s01_cosine_topk",
-      s"""SELECT query_id, neighbor_id, rank FROM (
+      s"""WITH e AS ($sparkNormalized)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |         row_number() OVER (PARTITION BY q.vec_id
-         |                            ORDER BY ${sparkCos("q.embedding", "c.embedding")} DESC,
+         |                            ORDER BY graft_dot(q.v, c.v) / (q.nrm * c.nrm) DESC,
          |                                     c.vec_id) AS rank
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 20) t
          |WHERE rank <= 5""".stripMargin,
       s"""SELECT query_id, neighbor_id, rank FROM (
@@ -52,10 +59,11 @@ object SimilarityQueries {
 
     // near-duplicate vector pairs (label agreement as a sanity signal)
     dialect("s02_cosine_neardup",
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH e AS ($sparkNormalized)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       CAST(a.label = b.label AS BOOLEAN) AS same_label
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${sparkCos("a.embedding", "b.embedding")} > 0.95""".stripMargin,
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE graft_dot(a.v, b.v) / (a.nrm * b.nrm) > 0.95""".stripMargin,
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       (a.label = b.label) AS same_label
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -80,7 +88,8 @@ object SimilarityQueries {
         |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
         |                  ELSE CAST(0 AS BIGINT) END) AS bucket
         |  FROM proj GROUP BY vec_id)
-        |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket""".stripMargin,
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+        |FROM buckets GROUP BY 1""".stripMargin,
       """WITH coef AS (
         |  SELECT p, d,
         |         (CAST('0x' || substr(md5(p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
@@ -95,6 +104,7 @@ object SimilarityQueries {
         |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
         |                  ELSE CAST(0 AS BIGINT) END) AS bucket
         |  FROM proj GROUP BY vec_id)
-        |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket""".stripMargin)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+        |FROM buckets GROUP BY 1""".stripMargin)
   )
 }

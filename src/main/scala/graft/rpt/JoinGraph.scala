@@ -154,7 +154,12 @@ object JoinGraph extends PredicateHelper {
       jt match {
         case Inner => Some((true, true))
         case LeftSemi => Some((true, true))
-        case _: ExistenceJoin => Some((true, true))
+        // ExistenceJoin preserves EVERY left row and emits an exists flag
+        // (EXISTS(...) OR cond rewrites) — bloom-filtering the left side
+        // would drop rows the enclosing disjunction should keep. Probe only
+        // the subquery side, like LeftOuter. (The reference lifts BF ops
+        // above its MARK join for the same reason, rpt_optimizer.cpp:1518.)
+        case _: ExistenceJoin => Some((false, true))
         case LeftOuter => Some((false, true)) // left rows preserved
         case RightOuter => Some((true, false))
         case _ => None

@@ -38,14 +38,26 @@ object RptConf {
   /** Default estimated items when the build side has no row-count stats. */
   val DEFAULT_BF_ITEMS = "spark.graft.rpt.defaultBloomFilterItems"
 
+  /** Accept both camelCase and the reference's snake_case spellings
+   *  (`bf_only` == `bfOnly`); unknown values raise rather than silently
+   *  falling through to another mode. */
+  private def normalized(conf: SQLConf, key: String, default: String,
+      allowed: Set[String]): String = {
+    val raw = conf.getConfString(key, default)
+    val norm = raw.replace("_", "").toLowerCase
+    allowed.find(_.toLowerCase == norm).getOrElse(
+      throw new IllegalArgumentException(
+        s"$key: '$raw' is not one of ${allowed.mkString(", ")}"))
+  }
+
   def enabled(conf: SQLConf): Boolean =
     conf.getConfString(ENABLED, "true").toBoolean
   def heuristic(conf: SQLConf): String =
-    conf.getConfString(HEURISTIC, "largestRoot")
+    normalized(conf, HEURISTIC, "largestRoot", Set("largestRoot", "joinOrder"))
   def passMode(conf: SQLConf): String =
-    conf.getConfString(PASS_MODE, "both")
+    normalized(conf, PASS_MODE, "both", Set("both", "forwardOnly"))
   def filterType(conf: SQLConf): String =
-    conf.getConfString(FILTER_TYPE, "bfOnly")
+    normalized(conf, FILTER_TYPE, "bfOnly", Set("all", "bfOnly", "minmaxOnly"))
   def minEdges(conf: SQLConf): Int =
     conf.getConfString(MIN_EDGES, "2").toInt
   def displayDag(conf: SQLConf): Boolean =

@@ -1,6 +1,10 @@
 package graft.rpt
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorDot
 
 /**
  * Session-extension entry point — the analog of the reference's extension
@@ -17,5 +21,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class RptExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PredicateTransferRule())
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
   }
 }

@@ -24,8 +24,9 @@ oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].map(lambda v: str(v).removesuffix(" 00:00:00")
+                              if v is not None else None)
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 ok, bad = [], []
@@ -48,7 +49,15 @@ for name in sorted(oracle):
         bad.append((name, f"ROWS spark={len(s)} duck={len(d)}"))
         continue
     mismatch = None
+    # the driver's hash is type-sensitive: a DuckDB HUGEINT (pandas float)
+    # vs Spark BIGINT hashes differently even when values are equal
     for c in s.columns:
+        if s[c].dtype.kind != d[c].dtype.kind:
+            mismatch = f"col {c}: DTYPE spark={s[c].dtype} duck={d[c].dtype}"
+            break
+    for c in s.columns:
+        if mismatch:
+            break
         sv, dv = s[c], d[c]
         try:
             import numpy as np
