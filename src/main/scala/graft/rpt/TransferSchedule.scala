@@ -30,6 +30,26 @@ case class ScheduledOp(
  * cardinality first. An approximation of Yannakakis' full reducer.
  * (reference: LargestRoot rpt_optimizer.cpp:215-276, BuildRootedTree
  * :278-376, GenerateStageModifications :826-995.)
+ *
+ * `joinOrder` heuristic: derive the transfer DAG from the host optimizer's
+ * chosen join order instead of re-deriving an MST. In the reference this
+ * walks DuckDB's physical join tree build-first so that DFS index =
+ * execution order and the later-executed side of every join becomes the
+ * parent (rpt_optimizer.cpp:516-672). The Spark analog: every `JoinEdge`
+ * was extracted at a `Join` node whose LEFT subtree is the streaming/probe
+ * spine that keeps executing upward, so the left endpoint is "executed
+ * later" = parent, and the right endpoint (the build side that terminates
+ * at that join) = child. Multi-parent nodes are kept (a DAG, not a tree —
+ * rpt_optimizer.hpp:35-46). `flipRoots` then demotes every non-largest
+ * root to a leaf by edge reversal to fixpoint (FlipRootsToLeaves,
+ * rpt_optimizer.cpp:715-810, default on via rpt_flip_roots).
+ *
+ * The reference's backward-pass broadcast optimization — one bloom filter
+ * per column-equivalence class, built at the highest ancestor and probed by
+ * every descendant (rpt_optimizer.cpp:1070-1158) — is structural here: all
+ * class members probe with a subquery over the SAME build plan and keys,
+ * and Catalyst's ReuseSubquery/MergeScalarSubqueries collapse those into
+ * one executed build.
  */
 object TransferSchedule {
 
