@@ -52,6 +52,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     val graph = JoinGraph.extract(plan)
     if (graph.edges.size < RptConf.minEdges(conf)) return plan
     val ops = RptConf.heuristic(conf) match {
+      case "joinOrder" => TransferSchedule.joinOrder(graph,
+        RptConf.passMode(conf), RptConf.flipRoots(conf))
       case _ => TransferSchedule.largestRoot(graph, RptConf.passMode(conf))
     }
     if (ops.isEmpty) return plan

@@ -33,6 +33,10 @@ object RptConf {
   val MIN_EDGES = "spark.graft.rpt.minEdges"
   /** Log an ASCII transfer tree per query (reference: rpt_display_dag). */
   val DISPLAY_DAG = "spark.graft.rpt.displayDag"
+  /** joinOrder heuristic only: demote non-largest transfer-DAG roots to
+   *  leaves by edge reversal (reference: rpt_flip_roots, default true,
+   *  rpt_extension.cpp:68-69, FlipRootsToLeaves rpt_optimizer.cpp:715-810). */
+  val FLIP_ROOTS = "spark.graft.rpt.flipRoots"
   /** Cap on estimated distinct items used to size each bloom filter. */
   val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
   /** Default estimated items when the build side has no row-count stats. */
@@ -58,6 +62,8 @@ object RptConf {
     normalized(conf, PASS_MODE, "both", Set("both", "forwardOnly"))
   def filterType(conf: SQLConf): String =
     normalized(conf, FILTER_TYPE, "bfOnly", Set("all", "bfOnly", "minmaxOnly"))
+  def flipRoots(conf: SQLConf): Boolean =
+    conf.getConfString(FLIP_ROOTS, "true").toBoolean
   def minEdges(conf: SQLConf): Int =
     conf.getConfString(MIN_EDGES, "2").toInt
   def displayDag(conf: SQLConf): Boolean =

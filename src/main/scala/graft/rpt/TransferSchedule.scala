@@ -79,6 +79,110 @@ object TransferSchedule {
     ops.toSeq
   }
 
+  /** Transfer DAG from the optimizer's join order (see class doc). Every
+   *  edge is oriented child(right/build endpoint) → parent(left/stream
+   *  endpoint); `flipRoots` then reverses edges at non-largest roots until
+   *  only the largest-cardinality root of each component remains
+   *  (reference: rpt_optimizer.cpp:516-810). */
+  def joinOrder(
+      g: JoinGraph, passMode: String, flipRoots: Boolean): Seq[ScheduledOp] = {
+    if (g.units.size < 2 || g.edges.isEmpty) return Nil
+    val n = g.units.size
+
+    // directed edge: (child, parent, underlying edge). JoinGraph orients
+    // keyPairs._1 = left subtree, so parent = e.a, child = e.b initially.
+    var dedges = g.edges.map(e => (e.b, e.a, e)).toArray
+
+    if (flipRoots) {
+      // fixpoint: demote any root that is not the largest unit of its
+      // weakly-connected component to a leaf by reversing its edges
+      val comp = components(n, g.edges)
+      val largestOfComp = g.units.groupBy(u => comp(u.id))
+        .map { case (c, us) => c -> us.maxBy(_.card).id }
+      var changed = true
+      var guard = 0
+      while (changed && guard < n) {
+        changed = false
+        guard += 1
+        // roots: appear as parent, never as child
+        val childSet = dedges.map(_._1).toSet
+        val roots = dedges.map(_._2).distinct.filterNot(childSet.contains)
+        roots.foreach { r =>
+          if (r != largestOfComp(comp(r))) {
+            dedges = dedges.map { case (c, p, e) =>
+              if (p == r) (p, c, e) else (c, p, e)
+            }
+            changed = true
+          }
+        }
+      }
+    }
+
+    // level = longest path from a root (parents before children). A cycle
+    // (possible after adversarial flipping) aborts to the MST heuristic.
+    val level = Array.fill(n)(-1)
+    val indeg = Array.fill(n)(0) // #edges in which the unit is the child
+    val touched = Array.fill(n)(false)
+    dedges.foreach { case (c, p, _) =>
+      indeg(c) += 1; touched(c) = true; touched(p) = true
+    }
+    val queue = mutable.Queue[Int]()
+    (0 until n).foreach { u =>
+      if (touched(u) && indeg(u) == 0) { level(u) = 0; queue += u }
+    }
+    var processed = 0
+    while (queue.nonEmpty) {
+      val p = queue.dequeue()
+      processed += 1
+      dedges.foreach { case (c, p2, _) =>
+        if (p2 == p) {
+          level(c) = math.max(level(c), level(p) + 1)
+          indeg(c) -= 1
+          if (indeg(c) == 0) queue += c
+        }
+      }
+    }
+    if (processed < touched.count(identity)) {
+      // orientation produced a cycle — fall back to the MST heuristic
+      return largestRoot(g, passMode)
+    }
+
+    val ops = mutable.ArrayBuffer[ScheduledOp]()
+    // forward: deepest children first (their own probes have landed), so
+    // each build reads an already-reduced plan; within a level smallest
+    // cardinality first (reference level sort, rpt_optimizer.cpp:876-880)
+    dedges.sortBy { case (c, _, _) => (-level(c), g.units(c).card) }
+      .foreach { case (c, p, e) =>
+        if (e.canFilter(p) && g.units(c).buildable) {
+          ops += ScheduledOp(c, e.keysOf(c), p, e.keysOf(p), forward = true)
+        }
+      }
+    // backward: roots first
+    if (passMode != "forwardOnly") {
+      dedges.sortBy { case (c, _, _) => (level(c), g.units(c).card) }
+        .foreach { case (c, p, e) =>
+          if (e.canFilter(c) && g.units(p).buildable) {
+            ops += ScheduledOp(p, e.keysOf(p), c, e.keysOf(c), forward = false)
+          }
+        }
+    }
+    ops.toSeq
+  }
+
+  /** Weakly-connected component id per unit. */
+  private def components(n: Int, edges: Seq[JoinEdge]): Array[Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach(e => parent(find(e.a)) = find(e.b))
+    Array.tabulate(n)(find)
+  }
+
   /** Prim's max-ST from `root`; returns (parent edge per unit, BFS depth,
    *  members). Tie-break: larger min-cardinality of the endpoints
    *  (reference: rpt_optimizer.cpp:215-276). */

@@ -101,6 +101,32 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  for ((name, sql) <- queries) {
+    test(s"differential under joinOrder heuristic: $name") {
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      val on = withConf(RptConf.ENABLED -> "true",
+        RptConf.HEURISTIC -> "joinOrder")(fingerprint(spark.sql(sql)))
+      assert(on == off, s"joinOrder heuristic changed the result set of $name")
+    }
+  }
+
+  test("joinOrder heuristic injects probes; flipRoots toggles cleanly") {
+    def probes(flip: String): Int = withConf(RptConf.ENABLED -> "true",
+      RptConf.HEURISTIC -> "join_order", RptConf.FLIP_ROOTS -> flip) {
+      val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
+      "might_contain".r.findAllIn(s).length
+    }
+    assert(probes("true") > 0, "joinOrder+flipRoots injected nothing")
+    assert(probes("false") > 0, "joinOrder w/o flipRoots injected nothing")
+    // snake_case heuristic value accepted (reference spelling)
+    val off = withConf(RptConf.ENABLED -> "false")(
+      fingerprint(spark.sql(queries("bushy"))))
+    val on = withConf(RptConf.ENABLED -> "true",
+      RptConf.HEURISTIC -> "join_order", RptConf.FLIP_ROOTS -> "false")(
+      fingerprint(spark.sql(queries("bushy"))))
+    assert(on == off)
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
