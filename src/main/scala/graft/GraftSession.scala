@@ -30,6 +30,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.listenerManager.register(new rpt.RptProfiling.RptProfilingListener(spark))
     spark
   }
 

@@ -33,6 +33,9 @@ object RptConf {
   val MIN_EDGES = "spark.graft.rpt.minEdges"
   /** Log an ASCII transfer tree per query (reference: rpt_display_dag). */
   val DISPLAY_DAG = "spark.graft.rpt.displayDag"
+  /** Print a per-probe selectivity report after each action (reference:
+   *  rpt_profiling, rpt_extension.cpp:57-58). See [[RptProfiling]]. */
+  val PROFILING = "spark.graft.rpt.profiling"
   /** joinOrder heuristic only: demote non-largest transfer-DAG roots to
    *  leaves by edge reversal (reference: rpt_flip_roots, default true,
    *  rpt_extension.cpp:68-69, FlipRootsToLeaves rpt_optimizer.cpp:715-810). */

@@ -127,6 +127,19 @@ class PredicateTransferSuite extends SparkTestBase {
     assert(on == off)
   }
 
+  test("profiling reports per-probe selectivity after execution") {
+    withConf(RptConf.ENABLED -> "true") {
+      val df = spark.sql(queries("chain5"))
+      df.collect()
+      val stats = RptProfiling.probeStats(df.queryExecution)
+      assert(stats.nonEmpty, "no probe stats collected")
+      assert(stats.forall(s => s.rowsOut <= s.rowsIn || s.rowsIn < 0),
+        s"filter emitted more rows than it read: $stats")
+      val rep = RptProfiling.report(df)
+      assert(rep.contains("geomean"), rep)
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
