@@ -60,13 +60,17 @@ object DedupQueries {
         |GROUP BY source""".stripMargin),
 
     // exact n-gram Jaccard via shared-shingle equi-join (no LSH, no
-    // cartesian): candidates share >=1 shingle; emit integer set sizes
+    // cartesian): candidates share >=1 shingle; emit integer set sizes.
+    // The join key is the 60-bit shingle hash, not the string — at scale
+    // the self-join shuffle moves 8-byte ints instead of full shingles
+    // (collisions: identical on both engines, so results stay comparable)
     dialect("d03_ngram_jaccard",
       s"""WITH sh AS ($sparkShingles),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${sparkHash60.format("shingle")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, inter_cnt,
          |       sa.sz + sb.sz - inter_cnt AS union_cnt
@@ -75,10 +79,11 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin,
       s"""WITH sh AS ($duckShingles),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${duckHash60.format("shingle")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, inter_cnt,
          |       sa.sz + sb.sz - inter_cnt AS union_cnt
@@ -87,13 +92,24 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin),
 
-    // MinHash (8 permutations) + LSH (4 bands of 2): candidate pairs
+    // MinHash (8 permutations) + LSH (4 bands of 2): candidate pairs.
+    // ONE md5 per distinct shingle; the 8 permutations are universal
+    // hashes (a*h + b) mod p over the 30-bit base — integer arithmetic
+    // both engines evaluate identically (all intermediates < 2^46, no
+    // overflow on either side). 8x less hashing than md5-per-seed.
     dialect("d04_minhash_lsh",
       s"""WITH sh AS ($sparkShingles),
+         |shh AS (SELECT doc_id,
+         |               ${sparkHash60.format("shingle")} % 1073741789 AS hb
+         |        FROM sh),
+         |seeds AS (
+         |  SELECT seed,
+         |         ${sparkHash60.format("concat('a', seed)")} % 32749 + 1 AS a,
+         |         ${sparkHash60.format("concat('b', seed)")} % 1073741789 AS b
+         |  FROM (SELECT explode(sequence(0, 7)) AS seed)),
          |hs AS (
-         |  SELECT doc_id, seed,
-         |         min(${sparkHash60.format("concat(seed, ':', shingle)")}) AS mh
-         |  FROM sh LATERAL VIEW explode(sequence(0, 7)) s AS seed
+         |  SELECT doc_id, seed, min((hb * a + b) % 1073741789) AS mh
+         |  FROM shh CROSS JOIN seeds
          |  GROUP BY doc_id, seed),
          |bands AS (
          |  SELECT doc_id, CAST(seed / 2 AS INT) AS band,
@@ -104,10 +120,17 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
       s"""WITH sh AS ($duckShingles),
+         |shh AS (SELECT doc_id,
+         |               ${duckHash60.format("shingle")} % 1073741789 AS hb
+         |        FROM sh),
+         |seeds AS (
+         |  SELECT seed,
+         |         ${duckHash60.format("'a' || seed")} % 32749 + 1 AS a,
+         |         ${duckHash60.format("'b' || seed")} % 1073741789 AS b
+         |  FROM generate_series(0, 7) AS s(seed)),
          |hs AS (
-         |  SELECT doc_id, seed,
-         |         min(${duckHash60.format("seed || ':' || shingle")}) AS mh
-         |  FROM sh, generate_series(0, 7) AS s(seed)
+         |  SELECT doc_id, seed, min((hb * a + b) % 1073741789) AS mh
+         |  FROM shh CROSS JOIN seeds
          |  GROUP BY doc_id, seed),
          |bands AS (
          |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,

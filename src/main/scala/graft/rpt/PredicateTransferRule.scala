@@ -60,7 +60,11 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     if (RptConf.displayDag(conf)) {
       logInfo(s"[graft-rpt] transfer schedule:\n${DagPrinter.render(graph, ops)}")
     }
-    applyOps(plan, graph, ops)
+    val rewritten = applyOps(plan, graph, ops)
+    if (RptConf.displayPhysicalDag(conf)) {
+      logInfo(s"[graft-rpt] rewritten plan:\n${rewritten.treeString}")
+    }
+    rewritten
   }
 
   /** Idempotence guard: our injected subqueries are recognizable by the

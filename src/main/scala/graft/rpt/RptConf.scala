@@ -36,6 +36,11 @@ object RptConf {
   /** Print a per-probe selectivity report after each action (reference:
    *  rpt_profiling, rpt_extension.cpp:57-58). See [[RptProfiling]]. */
   val PROFILING = "spark.graft.rpt.profiling"
+  /** Log the rewritten logical plan after splicing (reference:
+   *  rpt_display_physical_dag — its physical DAG print,
+   *  rpt_optimizer.cpp:812-824; Spark's physical plan is best inspected
+   *  via .explain, so we log the post-rewrite plan instead). */
+  val DISPLAY_PHYSICAL_DAG = "spark.graft.rpt.displayPhysicalDag"
   /** joinOrder heuristic only: demote non-largest transfer-DAG roots to
    *  leaves by edge reversal (reference: rpt_flip_roots, default true,
    *  rpt_extension.cpp:68-69, FlipRootsToLeaves rpt_optimizer.cpp:715-810). */
@@ -65,6 +70,8 @@ object RptConf {
     normalized(conf, PASS_MODE, "both", Set("both", "forwardOnly"))
   def filterType(conf: SQLConf): String =
     normalized(conf, FILTER_TYPE, "bfOnly", Set("all", "bfOnly", "minmaxOnly"))
+  def displayPhysicalDag(conf: SQLConf): Boolean =
+    conf.getConfString(DISPLAY_PHYSICAL_DAG, "false").toBoolean
   def flipRoots(conf: SQLConf): Boolean =
     conf.getConfString(FLIP_ROOTS, "true").toBoolean
   def minEdges(conf: SQLConf): Int =

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Raw event as carried by the `events` fixture / an event stream. */
+case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** One closed session emitted by [[StreamingOps.sessionize]]. */
+case class Session(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long)
+
+private case class SessionState(
+    start: Long, last: Long, n: Long)
+
+/**
+ * Streaming counterparts of the batch event queries (q24/q25): the same
+ * transformations expressed over an unbounded source, the way a production
+ * ingest pipeline would run them. Works identically on any streaming source
+ * (`readStream` over files/Kafka-like sources or MemoryStream in tests) —
+ * the transformations only assume the [[Event]] schema.
+ *
+ * Scale design: both operators are keyed (window+type / user_id), so state
+ * and shuffle partition by key across executors; watermarks bound state
+ * size — nothing here is driver-resident.
+ */
+object StreamingOps {
+
+  /** Watermarked hourly rollup per event type — streaming analog of
+   *  q24_events_hourly. Late events beyond `watermark` are dropped and
+   *  windows finalize (append mode emits each window once). */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Gap-based sessionization with custom keyed state — the streaming
+   *  analog of q25_events_sessionize, built on flatMapGroupsWithState with
+   *  event-time timeouts. A session closes when `gapSeconds` pass without
+   *  an event for that user (decided by watermark progress, so out-of-order
+   *  events within the watermark still join their session). */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed (watermark passed last+gap): close the session
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source entry point: tail a directory of event parquet as a
+   *  stream (the readStream → transform → writeStream shape of
+   *  SURVEY.md §7's roadmap). */
+  def readEventStream(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .as[Event]
+  }
+}

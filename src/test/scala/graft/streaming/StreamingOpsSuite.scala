@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/**
+ * Streaming semantics checked against their batch analogs: the same rows
+ * through the streaming operators (via MemoryStream + watermark
+ * advancement) must produce the same aggregates the batch queries produce.
+ */
+class StreamingOpsSuite extends SparkTestBase {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private def ev(id: Long, minutes: Long, user: Long, typ: String,
+      value: Double): Event = Event(id, ts(minutes), user, typ, value)
+
+  test("hourlyRollup (streaming) matches batch window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamingOps.hourlyRollup(input.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("rollup_sink")
+      .outputMode("append").start()
+    try {
+      val events = Seq(
+        ev(1, 5, 1, "click", 1.0), ev(2, 15, 2, "click", 2.5),
+        ev(3, 61, 1, "view", 4.0), ev(4, 70, 3, "click", 0.5))
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // sentinel far in the future finalizes all real windows
+      input.addData(ev(99, 24 * 60, 9, "zz", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("rollup_sink")
+        .where("event_type <> 'zz'")
+        .collect().map(_.mkString(",")).sorted.toSeq
+      val batch = StreamingOps.hourlyRollup(
+        events.toDF(), watermark = "1 minute")
+      // batch DataFrame of the same shape: compute expected via groupBy
+      val expected = spark.createDataFrame(events)
+        .selectExpr("window(ts, '1 hour') AS w", "event_type", "value")
+        .groupBy("w", "event_type")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.expr(
+              "CAST(floor(value * 100) AS BIGINT)")).as("value_cents"))
+        .selectExpr("unix_micros(w.start) AS bucket_us", "event_type", "n",
+          "value_cents")
+        .collect().map(_.mkString(",")).sorted.toSeq
+      assert(streamed == expected,
+        s"streamed=$streamed\nexpected=$expected")
+      assert(batch.isStreaming == false)
+    } finally query.stop()
+  }
+
+  test("sessionize closes sessions on gap and matches expected counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamingOps.sessionize(input.toDS(), gapSeconds = 600,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,5 min (one session), then 30,32 (second session)
+      // user 2: single event at 3
+      input.addData(
+        ev(1, 0, 1, "a", 0), ev(2, 5, 1, "a", 0),
+        ev(3, 3, 2, "a", 0),
+        ev(4, 30, 1, "a", 0), ev(5, 32, 1, "a", 0))
+      query.processAllAvailable()
+      input.addData(ev(99, 24 * 60, 9, "zz", 0)) // advance watermark
+      query.processAllAvailable()
+
+      val sessions = spark.table("session_sink").as[Session].collect()
+        .filter(_.user_id != 9)
+        .sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(sessions.map(s => (s.user_id, s.n_events)).toSeq ==
+        Seq((1L, 2L), (1L, 2L), (2L, 1L)),
+        s"got ${sessions.toSeq}")
+      val first = sessions.head
+      assert(first.session_start == ts(0) && first.session_end == ts(5))
+    } finally query.stop()
+  }
+}
