@@ -2,18 +2,24 @@ package graft
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR, prints
   * ONE JSON line with total + per-query wall seconds. Timing is
-  * action-to-completion (`count()` forces full execution). */
+  * action-to-completion (`count()` forces full execution); per query the
+  * MIN of SPARK_GRAFT_BENCH_RUNS runs (default 2) is reported — the
+  * reference's protocol (min of --runs N, test_job_queries.sh:169-199),
+  * and the right estimator on a noisy shared machine. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = GraftSession.build(appName = "graft-bench")
     // warm the JVM/session on the smallest fixture so per-query numbers
     // measure the queries, not first-use initialization
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

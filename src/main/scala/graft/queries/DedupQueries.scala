@@ -20,10 +20,14 @@ import QueryDef._
  */
 object DedupQueries {
 
-  // docs with <3 tokens produce no shingles (guarded explicitly: Spark's
+  // Hashed 3-token shingles: (doc_id, 60-bit hash), DISTINCT applied on
+  // the HASH so the dedup shuffle moves 8-byte ints, never shingle
+  // strings (the strings exist only partition-locally, pre-hash).
+  // Docs with <3 tokens produce no shingles (guarded explicitly: Spark's
   // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
   private val sparkShingles =
-    """SELECT DISTINCT doc_id, concat_ws(' ', slice(w, i, 3)) AS shingle
+    """SELECT DISTINCT doc_id,
+      |       CAST(conv(substr(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) AS BIGINT) AS h
       |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
       |      WHERE size(split(text, ' ')) >= 3) d
       |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
@@ -32,7 +36,8 @@ object DedupQueries {
   // rejects lateral column refs in table functions); range(1, n+1) is empty
   // for n <= 0, so short docs drop out naturally
   private val duckShingles =
-    """SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+    """SELECT DISTINCT doc_id,
+      |       CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15) AS BIGINT) AS h
       |FROM (SELECT doc_id, w,
       |             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
@@ -42,6 +47,26 @@ object DedupQueries {
     "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
   private val duckHash60 =
     "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  // 8 fixed universal-hash (a, b) pairs for the MinHash permutations:
+  // odd multipliers < 2^26 so a * hb < 2^56 stays overflow-safe in both
+  // engines' BIGINT arithmetic
+  private val minhashAB = Seq(
+    (12582917L, 29123L), (23456789L, 399491L), (14348907L, 735632L),
+    (28629151L, 104729L), (17895697L, 999331L), (21233231L, 77611L),
+    (19487171L, 555557L), (25357351L, 11939L))
+  private val minhashCols = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+    s"min((hb * $a + $b) % 1073741789) AS mh$i"
+  }.mkString(", ")
+
+  // 48 per-bit balance aggregates (wide columns, dialect-specific shift op)
+  private def simhashBals(shift: Int => String): String =
+    (0 until 48).map(j =>
+      s"sum(CASE WHEN (${shift(j)} & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
+      .mkString(", ")
+  // fold the 48 sign bits back into one 48-bit fingerprint
+  private val simhashSum = (0 until 48).map(j =>
+    s"(CASE WHEN bal$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -65,8 +90,7 @@ object DedupQueries {
     // the self-join shuffle moves 8-byte ints instead of full shingles
     // (collisions: identical on both engines, so results stay comparable)
     dialect("d03_ngram_jaccard",
-      s"""WITH sh AS ($sparkShingles),
-         |shh AS (SELECT doc_id, ${sparkHash60.format("shingle")} AS h FROM sh),
+      s"""WITH shh AS ($sparkShingles),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
@@ -78,8 +102,7 @@ object DedupQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin,
-      s"""WITH sh AS ($duckShingles),
-         |shh AS (SELECT doc_id, ${duckHash60.format("shingle")} AS h FROM sh),
+      s"""WITH shh AS ($duckShingles),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
@@ -94,80 +117,63 @@ object DedupQueries {
 
     // MinHash (8 permutations) + LSH (4 bands of 2): candidate pairs.
     // ONE md5 per distinct shingle; the 8 permutations are universal
-    // hashes (a*h + b) mod p over the 30-bit base — integer arithmetic
-    // both engines evaluate identically (all intermediates < 2^46, no
-    // overflow on either side). 8x less hashing than md5-per-seed.
+    // hashes (a*h + b) mod p with fixed odd constants — integer
+    // arithmetic both engines evaluate identically (hb < 2^30, a < 2^26,
+    // so every intermediate < 2^56: no overflow on either side). The 8
+    // minima are WIDE aggregate columns of one GROUP BY doc_id — no 8x
+    // row explosion, one shuffle (at 100 TB the explode variant shuffles
+    // 8x the rows; this shape shuffles each doc once).
     dialect("d04_minhash_lsh",
       s"""WITH sh AS ($sparkShingles),
-         |shh AS (SELECT doc_id,
-         |               ${sparkHash60.format("shingle")} % 1073741789 AS hb
-         |        FROM sh),
-         |seeds AS (
-         |  SELECT seed,
-         |         ${sparkHash60.format("concat('a', seed)")} % 32749 + 1 AS a,
-         |         ${sparkHash60.format("concat('b', seed)")} % 1073741789 AS b
-         |  FROM (SELECT explode(sequence(0, 7)) AS seed)),
-         |hs AS (
-         |  SELECT doc_id, seed, min((hb * a + b) % 1073741789) AS mh
-         |  FROM shh CROSS JOIN seeds
-         |  GROUP BY doc_id, seed),
+         |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
+         |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, CAST(seed / 2 AS INT) AS band,
-         |         concat(min(CASE WHEN seed % 2 = 0 THEN mh END), ':',
-         |                min(CASE WHEN seed % 2 = 1 THEN mh END)) AS sig
-         |  FROM hs GROUP BY doc_id, CAST(seed / 2 AS INT))
+         |  SELECT doc_id, b.band, b.sig FROM hs
+         |  LATERAL VIEW explode(array(
+         |    struct(0 AS band, concat(mh0, ':', mh1) AS sig),
+         |    struct(1 AS band, concat(mh2, ':', mh3) AS sig),
+         |    struct(2 AS band, concat(mh4, ':', mh5) AS sig),
+         |    struct(3 AS band, concat(mh6, ':', mh7) AS sig))) t AS b)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
       s"""WITH sh AS ($duckShingles),
-         |shh AS (SELECT doc_id,
-         |               ${duckHash60.format("shingle")} % 1073741789 AS hb
-         |        FROM sh),
-         |seeds AS (
-         |  SELECT seed,
-         |         ${duckHash60.format("'a' || seed")} % 32749 + 1 AS a,
-         |         ${duckHash60.format("'b' || seed")} % 1073741789 AS b
-         |  FROM generate_series(0, 7) AS s(seed)),
-         |hs AS (
-         |  SELECT doc_id, seed, min((hb * a + b) % 1073741789) AS mh
-         |  FROM shh CROSS JOIN seeds
-         |  GROUP BY doc_id, seed),
-         |bands AS (
-         |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         |         concat(min(CASE WHEN seed % 2 = 0 THEN mh END), ':',
-         |                min(CASE WHEN seed % 2 = 1 THEN mh END)) AS sig
-         |  FROM hs GROUP BY doc_id, CAST(seed // 2 AS INT))
+         |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
+         |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+         |ub AS (
+         |  SELECT doc_id, unnest([
+         |    {'band': 0, 'sig': CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)},
+         |    {'band': 1, 'sig': CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)},
+         |    {'band': 2, 'sig': CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR)},
+         |    {'band': 3, 'sig': CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR)}]) AS u
+         |  FROM hs),
+         |bands AS (SELECT doc_id, u.band AS band, u.sig AS sig FROM ub)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
 
-    // SimHash: 48-bit locality-sensitive fingerprint per document
+    // SimHash: 48-bit locality-sensitive fingerprint per document. The 48
+    // bit balances are wide aggregate columns of ONE GROUP BY doc_id —
+    // the naive shape explodes every token 48x and shuffles twice; this
+    // shuffles each (doc, token) hash once and folds bits in-expression
     dialect("d05_simhash",
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, tok
          |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
          |th AS (SELECT doc_id, ${sparkHash60.format("tok")} AS h FROM toks),
          |bits AS (
-         |  SELECT doc_id, j,
-         |         sum(CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
-         |  FROM th LATERAL VIEW explode(sequence(0, 47)) b AS j
-         |  GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
-         |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+         |  SELECT doc_id, ${simhashBals(j => s"shiftright(h, $j)")}
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashSum AS BIGINT) AS simhash
+         |FROM bits""".stripMargin,
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
          |th AS (SELECT doc_id, ${duckHash60.format("tok")} AS h FROM toks),
          |bits AS (
-         |  SELECT doc_id, j,
-         |         sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
-         |  FROM th, generate_series(0, 47) AS b(j)
-         |  GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
-         |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin)
+         |  SELECT doc_id, ${simhashBals(j => s"(h >> $j)")}
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashSum AS BIGINT) AS simhash
+         |FROM bits""".stripMargin)
   )
 }
