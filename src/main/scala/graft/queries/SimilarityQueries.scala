@@ -34,6 +34,42 @@ object SimilarityQueries {
        | / (sqrt(list_reduce(list_transform($a::DOUBLE[], v -> v * v), (acc, v) -> acc + v))
        |    * sqrt(list_reduce(list_transform($b::DOUBLE[], v -> v * v), (acc, v) -> acc + v)))""".stripMargin
 
+  // Random-hyperplane LSH (8 planes -> 256 buckets), md5-derived
+  // deterministic coefficients; only projection SIGNS are used, so bucket
+  // assignment is robust to accumulation-order noise. Shared by s03/s04.
+  private val sparkLsh =
+    """coef AS (
+      |  SELECT p, d,
+      |         (CAST(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+      |  FROM (SELECT explode(sequence(0, 7)) AS p) ps
+      |  CROSS JOIN (SELECT explode(sequence(1, 64)) AS d) ds),
+      |proj AS (
+      |  SELECT eb.vec_id, c.p,
+      |         sum(CAST(element_at(eb.embedding, c.d) AS DOUBLE) * c.c) AS dot
+      |  FROM embeddings eb CROSS JOIN coef c
+      |  GROUP BY eb.vec_id, c.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+      |                  ELSE CAST(0 AS BIGINT) END) AS bucket
+      |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  private val duckLsh =
+    """coef AS (
+      |  SELECT p, d,
+      |         (CAST('0x' || substr(md5(p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+      |  FROM generate_series(0, 7) AS ps(p), generate_series(1, 64) AS ds(d)),
+      |proj AS (
+      |  SELECT eb.vec_id, c.p,
+      |         sum(CAST(eb.embedding[c.d] AS DOUBLE) * c.c) AS dot
+      |  FROM embeddings eb, coef c
+      |  GROUP BY eb.vec_id, c.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+      |                  ELSE CAST(0 AS BIGINT) END) AS bucket
+      |  FROM proj GROUP BY vec_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force cosine top-k for a query set (rank only — float values
@@ -69,42 +105,51 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.95""".stripMargin),
 
-    // random-hyperplane LSH bucket histogram (8 planes -> 256 buckets).
-    // plane coefficients derived from md5 so both engines agree; only the
-    // projection SIGN is used (robust to fp noise)
+    // LSH bucket histogram — the coarse-quantizer statistics view
     dialect("s03_lsh_buckets",
-      """WITH coef AS (
-        |  SELECT p, d,
-        |         (CAST(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
-        |  FROM (SELECT explode(sequence(0, 7)) AS p) ps
-        |  CROSS JOIN (SELECT explode(sequence(1, 64)) AS d) ds),
-        |proj AS (
-        |  SELECT e.vec_id, c.p,
-        |         sum(CAST(element_at(e.embedding, c.d) AS DOUBLE) * c.c) AS dot
-        |  FROM embeddings e CROSS JOIN coef c
-        |  GROUP BY e.vec_id, c.p),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
-        |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-        |  FROM proj GROUP BY vec_id)
-        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
-        |FROM buckets GROUP BY 1""".stripMargin,
-      """WITH coef AS (
-        |  SELECT p, d,
-        |         (CAST('0x' || substr(md5(p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
-        |  FROM generate_series(0, 7) AS ps(p), generate_series(1, 64) AS ds(d)),
-        |proj AS (
-        |  SELECT e.vec_id, c.p,
-        |         sum(CAST(e.embedding[c.d] AS DOUBLE) * c.c) AS dot
-        |  FROM embeddings e, coef c
-        |  GROUP BY e.vec_id, c.p),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
-        |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-        |  FROM proj GROUP BY vec_id)
-        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
-        |FROM buckets GROUP BY 1""".stripMargin)
+      s"""WITH $sparkLsh
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+         |FROM buckets GROUP BY 1""".stripMargin,
+      s"""WITH $duckLsh
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+         |FROM buckets GROUP BY 1""".stripMargin),
+
+    // LSH-bucketed approximate nearest neighbors — the scale path: the
+    // all-pairs product of s01 is replaced by a candidate equi-join on
+    // bucket (at 100 TB: shuffle on bucket id co-locates candidates;
+    // per-bucket skew is bounded by 2^planes buckets), cosine-reranked
+    // with the codegen'd graft_dot and top-3 per query via window rank
+    dialect("s04_ann_lsh",
+      s"""WITH e AS ($sparkNormalized),
+         |$sparkLsh,
+         |cand AS (
+         |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  FROM buckets bq JOIN buckets bc
+         |    ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+         |  WHERE bq.vec_id < 20)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY graft_dot(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                                     c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= 3""".stripMargin,
+      s"""WITH $duckLsh,
+         |cand AS (
+         |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  FROM buckets bq JOIN buckets bc
+         |    ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+         |  WHERE bq.vec_id < 20)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY ${duckCos("q.embedding", "n.embedding")} DESC,
+         |                                     c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= 3""".stripMargin)
   )
 }
