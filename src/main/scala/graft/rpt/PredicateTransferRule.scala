@@ -118,37 +118,51 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
         Aggregate(Nil, Seq(Alias(expr, SUBQ_ALIAS)()), projected))
     }
 
+    // cost gates (see RptConf scaladoc): don't probe tiny units, don't
+    // build over huge ones. Un-probed units also keep their build plans
+    // flat, which collapses the nested-subquery cascade.
+    val minProbeRows = RptConf.minProbeRows(conf).toDouble
+    val maxBuildRows = RptConf.maxBuildRows(conf).toDouble
+    val buildProbeRatio = RptConf.minBuildProbeRatio(conf)
+
     ops.foreach { op =>
       if (!inBackward && !op.forward) {
         inBackward = true
         graph.units.foreach(u => fwdFinal(u.id) = cur(u.id))
       }
-      val buildPlan = if (inBackward) fwdFinal(op.build) else cur(op.build)
-      val conds = mutable.ArrayBuffer[Expression]()
-      if (withBf) {
-        val est = estimatedItems(buildPlan, graph.units(op.build).card,
-          maxItems, defaultItems)
-        val bfAgg = new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
-          .toAggregateExpression()
-        conds += BloomFilterMightContain(
-          scalarAgg(bfAgg, buildPlan, op.buildKeys),
-          new XxHash64(op.probeKeys))
-      }
-      if (withMinmax) {
-        op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
-          if (RowOrdering.isOrderable(bk.dataType)) {
-            conds += GreaterThanOrEqual(pk,
-              scalarAgg(Min(bk).toAggregateExpression(), buildPlan, Seq(bk)))
-            conds += LessThanOrEqual(pk,
-              scalarAgg(Max(bk).toAggregateExpression(), buildPlan, Seq(bk)))
+      val gated = graph.units(op.probe).card < minProbeRows ||
+        graph.units(op.build).card > maxBuildRows ||
+        (buildProbeRatio > 0 &&
+          graph.units(op.build).card * buildProbeRatio >
+            graph.units(op.probe).card)
+      if (!gated) {
+        val buildPlan = if (inBackward) fwdFinal(op.build) else cur(op.build)
+        val conds = mutable.ArrayBuffer[Expression]()
+        if (withBf) {
+          val est = estimatedItems(buildPlan, graph.units(op.build).card,
+            maxItems, defaultItems)
+          val bfAgg = new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
+            .toAggregateExpression()
+          conds += BloomFilterMightContain(
+            scalarAgg(bfAgg, buildPlan, op.buildKeys),
+            new XxHash64(op.probeKeys))
+        }
+        if (withMinmax) {
+          op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
+            if (RowOrdering.isOrderable(bk.dataType)) {
+              conds += GreaterThanOrEqual(pk,
+                scalarAgg(Min(bk).toAggregateExpression(), buildPlan, Seq(bk)))
+              conds += LessThanOrEqual(pk,
+                scalarAgg(Max(bk).toAggregateExpression(), buildPlan, Seq(bk)))
+            }
           }
         }
-      }
-      if (conds.nonEmpty) {
-        val cond = conds.reduce(And)
-        cur(op.probe) = Filter(cond, cur(op.probe))
-        pendingConds.getOrElseUpdate(op.probe,
-          mutable.ArrayBuffer[Expression]()) += cond
+        if (conds.nonEmpty) {
+          val cond = conds.reduce(And)
+          cur(op.probe) = Filter(cond, cur(op.probe))
+          pendingConds.getOrElseUpdate(op.probe,
+            mutable.ArrayBuffer[Expression]()) += cond
+        }
       }
     }
 

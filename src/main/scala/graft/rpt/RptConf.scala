@@ -45,6 +45,29 @@ object RptConf {
    *  leaves by edge reversal (reference: rpt_flip_roots, default true,
    *  rpt_extension.cpp:68-69, FlipRootsToLeaves rpt_optimizer.cpp:715-810). */
   val FLIP_ROOTS = "spark.graft.rpt.flipRoots"
+  /** Only inject a probe filter when the probe unit's estimated
+   *  cardinality is at least this many rows — probing a tiny table can
+   *  never repay the bloom-filter build, and un-probed small units keep
+   *  their build-side plans flat (no nested subquery cascades). The
+   *  reference has no such gate (it schedules every edge,
+   *  rpt_optimizer.cpp:876-995); Spark's own InjectRuntimeFilter applies
+   *  the same idea as byte thresholds. Set 0 for reference-faithful
+   *  behavior. */
+  val MIN_PROBE_ROWS = "spark.graft.rpt.minProbeRows"
+  /** Skip ops whose BUILD side exceeds this estimated cardinality —
+   *  building a bloom filter over a huge side costs more than the probe
+   *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
+  val MAX_BUILD_ROWS = "spark.graft.rpt.maxBuildRows"
+  /** Skip ops where build.card * ratio > probe.card. The reference's
+   *  materializing CREATE_BF piggybacks the build on a scan the query
+   *  performs anyway (physical_create_bf.cpp:201-242); Spark's subquery
+   *  build is a SECOND scan of the build side, so a build larger than its
+   *  probe target can never pay for itself here. Default 1.0 (build must
+   *  be no larger than the probe side — in practice this keeps the full
+   *  forward leaves-to-root pass and prunes backward ops whose build is
+   *  the big root). 0 disables the gate (reference-faithful: it schedules
+   *  every edge in both passes). */
+  val MIN_BUILD_PROBE_RATIO = "spark.graft.rpt.minBuildProbeRatio"
   /** Cap on estimated distinct items used to size each bloom filter. */
   val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
   /** Default estimated items when the build side has no row-count stats. */
@@ -78,6 +101,12 @@ object RptConf {
     conf.getConfString(MIN_EDGES, "2").toInt
   def displayDag(conf: SQLConf): Boolean =
     conf.getConfString(DISPLAY_DAG, "false").toBoolean
+  def minProbeRows(conf: SQLConf): Long =
+    conf.getConfString(MIN_PROBE_ROWS, "4096").toLong
+  def maxBuildRows(conf: SQLConf): Long =
+    conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
+  def minBuildProbeRatio(conf: SQLConf): Double =
+    conf.getConfString(MIN_BUILD_PROBE_RATIO, "1.0").toDouble
   def maxBfItems(conf: SQLConf): Long =
     conf.getConfString(MAX_BF_ITEMS, "4000000").toLong
   def defaultBfItems(conf: SQLConf): Long =

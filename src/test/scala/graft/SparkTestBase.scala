@@ -36,7 +36,13 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkTestBase {
-  lazy val session: SparkSession =
-    GraftSession.build(master = "local[4]", shufflePartitions = 4,
+  lazy val session: SparkSession = {
+    val s = GraftSession.build(master = "local[4]", shufflePartitions = 4,
       appName = "graft-test")
+    // plan-shape tests run on the tiny sf0.001 fixture; disable the
+    // cost gates so transfers still happen (gating has its own test)
+    s.conf.set(rpt.RptConf.MIN_PROBE_ROWS, "0")
+    s.conf.set(rpt.RptConf.MIN_BUILD_PROBE_RATIO, "0")
+    s
+  }
 }

@@ -140,6 +140,19 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("cost gate suppresses probes of tiny units") {
+    withConf(RptConf.ENABLED -> "true",
+      RptConf.MIN_PROBE_ROWS -> "1000000000") {
+      val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
+      assert(!s.contains("might_contain"),
+        "gate failed to suppress probes on tiny fixture")
+      val res = fingerprint(spark.sql(queries("chain5")))
+      val off = withConf(RptConf.ENABLED -> "false")(
+        fingerprint(spark.sql(queries("chain5"))))
+      assert(res == off)
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
