@@ -59,6 +59,21 @@ object MultimodalQueries {
         |       CAST(ascii(substr(d.text, 2, 1)) AS BIGINT) AS height,
         |       CAST(length(d.text) % 7 + 1 AS BIGINT) AS n_frames,
         |       cs.sample_checksum
-        |FROM documents d JOIN cs ON d.doc_id = cs.doc_id""".stripMargin))
+        |FROM documents d JOIN cs ON d.doc_id = cs.doc_id""".stripMargin)),
+
+    // "resize" analog: fixed-size thumbnail signature — 8 bytes sampled at
+    // a stride of len/8 (the downsampling access pattern of a real resize,
+    // minus the codec); pure per-row projection, no shuffle at any scale
+    dialect("m03_thumbnail",
+      s"""SELECT doc_id, concat_ws('-', ${m03SampleSpark.mkString(", ")}) AS thumb
+         |FROM documents WHERE length(text) >= 8""".stripMargin,
+      s"""SELECT doc_id, ${m03SampleDuck.mkString(" || '-' || ")} AS thumb
+         |FROM documents WHERE length(text) >= 8""".stripMargin)
   )
+
+  // byte i*stride for i in 0..7, stride = len/8 (integer division)
+  private lazy val m03SampleSpark = (0 until 8).map(i =>
+    s"ascii(substr(text, CAST(1 + $i * (length(text) DIV 8) AS INT), 1))")
+  private lazy val m03SampleDuck = (0 until 8).map(i =>
+    s"CAST(ascii(substr(text, CAST(1 + $i * (length(text) // 8) AS INT), 1)) AS VARCHAR)")
 }
