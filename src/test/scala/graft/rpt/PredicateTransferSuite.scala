@@ -140,6 +140,19 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("empty build side: probes reject everything, result stays correct") {
+    // reference behavior #7: empty CREATE_BF pushes an always-false filter
+    // (physical_create_bf.cpp:289-297); here the empty build yields a BF
+    // that rejects all probes, and AQE propagates empty relations
+    val sql = queries("chain5").replace("'ASIA'", "'NO_SUCH_REGION'")
+    withConf(RptConf.ENABLED -> "true") {
+      val on = fingerprint(spark.sql(sql))
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      assert(on == off && on.isEmpty,
+        s"empty-build query wrong: on=$on off=$off")
+    }
+  }
+
   test("cost gate suppresses probes of tiny units") {
     withConf(RptConf.ENABLED -> "true",
       RptConf.MIN_PROBE_ROWS -> "1000000000") {
