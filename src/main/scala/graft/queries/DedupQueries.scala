@@ -27,7 +27,7 @@ object DedupQueries {
   // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
   private val sparkShingles =
     """SELECT DISTINCT doc_id,
-      |       CAST(conv(substr(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) AS BIGINT) AS h
+      |       graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
       |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
       |      WHERE size(split(text, ' ')) >= 3) d
       |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
@@ -43,8 +43,9 @@ object DedupQueries {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
       |            FROM documents))""".stripMargin
 
-  private val sparkHash60 =
-    "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+  // graft_hash60 = codegen'd md5-prefix (graft.functions.Hash60),
+  // bit-identical to the portable conv(substr(md5)) form duckHash60 uses
+  private val sparkHash60 = "graft_hash60(%s)"
   private val duckHash60 =
     "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorDot
+import graft.functions.{Hash60, VectorDot}
 
 /**
  * Session-extension entry point — the analog of the reference's extension
@@ -25,5 +25,9 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head)))
   }
 }
