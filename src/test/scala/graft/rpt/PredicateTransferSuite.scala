@@ -140,6 +140,17 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("coexists with Spark's own InjectRuntimeFilter enabled") {
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true") {
+      val on = fingerprint(spark.sql(queries("chain5")))
+      val off = withConf(RptConf.ENABLED -> "false",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")(
+        fingerprint(spark.sql(queries("chain5"))))
+      assert(on == off, "both filter rules enabled changed results")
+    }
+  }
+
   test("empty build side: probes reject everything, result stays correct") {
     // reference behavior #7: empty CREATE_BF pushes an always-false filter
     // (physical_create_bf.cpp:289-297); here the empty build yields a BF
