@@ -1,0 +1,88 @@
+package graft
+
+/**
+ * Differential speedup report for the RPT rule — the analog of the
+ * reference's benchmark driver (test_job_queries.sh: per-query baseline vs
+ * extension timing, faster/slower/same at a ±5% noise threshold, geometric
+ * mean — :266-284, :380-384).
+ *
+ * Two regimes per query:
+ *  - `broadcast`: stock local settings (small dims broadcast; the regime
+ *    of the sf fixtures on one node)
+ *  - `shuffle`: autoBroadcastJoinThreshold=-1 forces shuffle joins — the
+ *    regime a 100 TB cluster join actually runs in, where semi-join
+ *    reduction pays for shuffled bytes it avoids
+ */
+object RptBench {
+
+  private val queries: Map[String, String] = Map(
+    "chain5_selective" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "star_part_filter" ->
+      """SELECT min(l_extendedprice) AS m
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size < 10""".stripMargin,
+    "job_min_chain" ->
+      """SELECT min(o_totalprice) AS m, min(c_name) AS c
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND l_quantity > 45""".stripMargin,
+    "semi_reduce" ->
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'""".stripMargin,
+    "two_big" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS q
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice < 5000""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = GraftSession.build(appName = "graft-rpt-bench")
+    GraftSession.loadTables(spark, sfDir)
+
+    def best(sql: String): Double = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sql(sql).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    def cls(speedup: Double): String =
+      if (speedup > 1.05) "faster" else if (speedup < 0.95) "slower" else "same"
+
+    Seq("broadcast" -> "10485760", "shuffle" -> "-1").foreach {
+      case (regime, bcThreshold) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+        val rows = queries.toSeq.sortBy(_._1).map { case (name, sql) =>
+          spark.conf.set("spark.graft.rpt.enabled", "false")
+          val off = best(sql)
+          spark.conf.set("spark.graft.rpt.enabled", "true")
+          val on = best(sql)
+          (name, off, on, off / on)
+        }
+        val geo = math.exp(rows.map(r => math.log(r._4)).sum / rows.size)
+        println(s"== regime: $regime (autoBroadcastJoinThreshold=$bcThreshold)")
+        rows.foreach { case (name, off, on, s) =>
+          println(f"  $name%-18s off=$off%6.2fs on=$on%6.2fs speedup=$s%5.2fx ${cls(s)}")
+        }
+        println(f"  geomean speedup: $geo%.3fx " +
+          s"(${rows.count(r => cls(r._4) == "faster")} faster / " +
+          s"${rows.count(r => cls(r._4) == "slower")} slower / " +
+          s"${rows.count(r => cls(r._4) == "same")} same)")
+    }
+    spark.stop()
+  }
+}

@@ -20,7 +20,14 @@ import graft.functions.{Hash60, VectorDot}
  */
 class RptExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => PredicateTransferRule())
+    // preCBO = a run-ONCE batch after the operator-optimization fixed
+    // point (same late placement as Spark's own InjectRuntimeFilter, and
+    // the analog of the reference's post-optimizer hook,
+    // rpt_optimizer.cpp:1702-1722). Inside the fixed-point batch the
+    // spliced subquery plans would be re-optimized on every iteration —
+    // pure planning overhead; here they are visited once and then merged
+    // by MergeScalarSubqueries, which runs after preCBO rules.
+    ext.injectPreCBORule(_ => PredicateTransferRule())
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
