@@ -177,6 +177,20 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("plan quality: static filters reach the scan, small dims broadcast") {
+    val df = spark.sql(queries("chain5"))
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to parquet scan")
+    assert(phys.contains("BroadcastHashJoin"), "no broadcast joins in chain5")
+    // column pruning: the lineitem scan must not read unused columns
+    val lineitemScans = phys.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    assert(lineitemScans.forall(!_.contains("l_comment")),
+      "lineitem scan reads unused columns")
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
