@@ -229,6 +229,27 @@ object RelationalQueries {
         |       min(CAST(o_orderdate AS DATE)) AS first_day
         |FROM orders GROUP BY 1, 2""".stripMargin),
 
+    // 8-table join (TPC-H Q8 shape: two nation roles via self-join) — the
+    // width class of the reference's JOB workload (up to 17 tables); the
+    // transfer schedule must handle the diamond region->n1->customer and
+    // the independent supplier->n2 branch
+    common("q27_wide_join",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS nation_cents,
+        |       count(*) AS n
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_size < 25
+        |GROUP BY year(o_orderdate)""".stripMargin),
+
     // ---- events: time bucketing + sessionization (batch analogs of the
     //      streaming pipeline; ts reduced to epoch micros for comparability)
     dialect("q24_events_hourly",
