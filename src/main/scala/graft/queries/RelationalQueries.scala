@@ -290,6 +290,59 @@ object RelationalQueries {
         |    FROM events) a
         |) b GROUP BY user_id""".stripMargin),
 
+    // as-of join: for every click, the most recent prior purchase value of
+    // the same user. Expressed as ONE window pass (union-free piggyback:
+    // last_value IGNORE NULLS over user_id/time order) — the scale-right
+    // shape for as-of joins: a single shuffle by user, no inequality join
+    // blowup
+    dialect("q28_asof_join",
+      """SELECT user_id, event_id,
+        |       CAST(coalesce(floor(asof_purchase * 100), -1) AS BIGINT) AS purchase_cents
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN value END, true)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_purchase
+        |  FROM events) e
+        |WHERE event_type = 'click'""".stripMargin,
+      """SELECT user_id, event_id,
+        |       CAST(coalesce(floor(asof_purchase * 100), -1) AS BIGINT) AS purchase_cents
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_purchase
+        |  FROM events) e
+        |WHERE event_type = 'click'""".stripMargin),
+
+    // banded range join: pairs of events of one user within 60s. The
+    // inequality is turned into an equi-join on a time band (each left
+    // event registers under its band and the next; a pair within W spans
+    // at most adjacent bands, and matches exactly once since the two
+    // exploded bands differ) — no O(n^2) inequality join at any scale,
+    // shuffle keyed on (user, band)
+    dialect("q29_range_band",
+      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS us FROM events),
+        |a AS (SELECT user_id, event_id, us,
+        |             explode(array(us DIV 60000000, us DIV 60000000 + 1)) AS bk
+        |      FROM e)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM a JOIN e c
+        |  ON a.user_id = c.user_id AND c.us DIV 60000000 = a.bk
+        | AND (a.us < c.us OR (a.us = c.us AND a.event_id < c.event_id))
+        | AND c.us - a.us <= 60000000
+        |GROUP BY a.user_id""".stripMargin,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT user_id, event_id, us,
+        |             unnest([us // 60000000, us // 60000000 + 1]) AS bk
+        |      FROM e)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM a JOIN e c
+        |  ON a.user_id = c.user_id AND c.us // 60000000 = a.bk
+        | AND (a.us < c.us OR (a.us = c.us AND a.event_id < c.event_id))
+        | AND c.us - a.us <= 60000000
+        |GROUP BY a.user_id""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,
