@@ -73,9 +73,13 @@ class TransferPropertySuite extends SparkTestBase {
     }
   }
 
+  // GRAFT_PROP_N ups the sweep depth for one-off deep runs
+  private val nInstances =
+    sys.env.getOrElse("GRAFT_PROP_N", "25").toInt
+
   test("rewrite preserves results on random join instances (both heuristics)") {
     val params = Gen.Parameters.default
-    val instances = (1 to 25).flatMap(i =>
+    val instances = (1 to nInstances).flatMap(i =>
       genInstance(params, Seed(i.toLong)))
     assert(instances.size >= 20, "generator failed to produce instances")
     instances.foreach { inst =>
