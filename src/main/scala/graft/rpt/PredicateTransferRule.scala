@@ -42,6 +42,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
  */
 case class PredicateTransferRule() extends Rule[LogicalPlan] {
 
+  // alias prefix marks our subqueries (idempotence guard); the _fwd/_bwd
+  // suffix lets profiling roll up selectivity per pass, like the
+  // reference's per-pass reports (rpt_profiling.hpp:122-216)
   private val SUBQ_ALIAS = "graft_rpt_bf"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -73,7 +76,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     plan.exists { node =>
       node.expressions.exists(_.exists {
         case ss: ScalarSubquery => ss.plan match {
-          case Aggregate(_, Seq(a: Alias), _, _) => a.name == SUBQ_ALIAS
+          case Aggregate(_, Seq(a: Alias), _, _) =>
+            a.name.startsWith(SUBQ_ALIAS)
           case _ => false
         }
         case _ => false
@@ -111,11 +115,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     // into one scan automatically — the Spark-native equivalent of the
     // reference's BuildStackedBFOperators (rpt_optimizer.cpp:1164-1265).
     def scalarAgg(expr: Expression, buildPlan: LogicalPlan,
-        keys: Seq[Expression]): ScalarSubquery = {
+        keys: Seq[Expression], forward: Boolean): ScalarSubquery = {
       val needed = AttributeSet(keys.flatMap(_.references))
       val projected = Project(buildPlan.output.filter(needed.contains), buildPlan)
+      val alias = SUBQ_ALIAS + (if (forward) "_fwd" else "_bwd")
       ScalarSubquery(
-        Aggregate(Nil, Seq(Alias(expr, SUBQ_ALIAS)()), projected))
+        Aggregate(Nil, Seq(Alias(expr, alias)()), projected))
     }
 
     // cost gates (see RptConf scaladoc): don't probe tiny units, don't
@@ -144,16 +149,18 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
           val bfAgg = new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
             .toAggregateExpression()
           conds += BloomFilterMightContain(
-            scalarAgg(bfAgg, buildPlan, op.buildKeys),
+            scalarAgg(bfAgg, buildPlan, op.buildKeys, op.forward),
             new XxHash64(op.probeKeys))
         }
         if (withMinmax) {
           op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
             if (RowOrdering.isOrderable(bk.dataType)) {
               conds += GreaterThanOrEqual(pk,
-                scalarAgg(Min(bk).toAggregateExpression(), buildPlan, Seq(bk)))
+                scalarAgg(Min(bk).toAggregateExpression(), buildPlan,
+                  Seq(bk), op.forward))
               conds += LessThanOrEqual(pk,
-                scalarAgg(Max(bk).toAggregateExpression(), buildPlan, Seq(bk)))
+                scalarAgg(Max(bk).toAggregateExpression(), buildPlan,
+                  Seq(bk), op.forward))
             }
           }
         }

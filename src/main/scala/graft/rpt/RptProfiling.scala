@@ -19,7 +19,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 object RptProfiling {
 
-  final case class ProbeStat(node: String, rowsIn: Long, rowsOut: Long) {
+  final case class ProbeStat(
+      node: String, pass: String, rowsIn: Long, rowsOut: Long) {
     def selectivity: Double =
       if (rowsIn <= 0) 1.0 else rowsOut.toDouble / rowsIn.toDouble
   }
@@ -38,7 +39,17 @@ object RptProfiling {
           val out = f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
           val in = f.child.metrics.get("numOutputRows").map(_.value)
             .getOrElse(-1L)
-          Seq(ProbeStat(f.child.nodeName, in, out))
+          // the subquery's output attribute carries the pass-tagged alias
+          // (robust against ReusedSubquery's terse string form)
+          val aliases = f.condition.collect {
+            case s: org.apache.spark.sql.execution.ScalarSubquery =>
+              s.plan.output.map(_.name)
+          }.flatten ++ Seq(f.condition.toString)
+          val pass =
+            if (aliases.exists(_.contains("graft_rpt_bf_bwd"))) "backward"
+            else if (aliases.exists(_.contains("graft_rpt_bf_fwd"))) "forward"
+            else "?"
+          Seq(ProbeStat(f.child.nodeName, pass, in, out))
         case _ => Nil
       }
       here ++ p.children.flatMap(walk) ++
@@ -55,12 +66,16 @@ object RptProfiling {
     if (stats.isEmpty) return "rpt: no transfer filters in this plan"
     val sb = new StringBuilder("rpt probe filters (rows in -> out):\n")
     stats.zipWithIndex.foreach { case (s, i) =>
-      sb.append(f"  #$i%2d ${s.node}%-28s ${s.rowsIn}%,12d -> ${s.rowsOut}%,12d  (${s.selectivity * 100}%6.2f%%)\n")
+      sb.append(f"  #$i%2d [${s.pass}%-8s] ${s.node}%-24s ${s.rowsIn}%,12d -> ${s.rowsOut}%,12d  (${s.selectivity * 100}%6.2f%%)\n")
     }
-    val geo = math.exp(
-      stats.map(s => math.log(math.max(s.selectivity, 1e-12))).sum / stats.size)
+    def geo(ss: Seq[ProbeStat]): Double = math.exp(
+      ss.map(s => math.log(math.max(s.selectivity, 1e-12))).sum / ss.size)
     val removed = stats.map(s => math.max(0L, s.rowsIn - s.rowsOut)).sum
-    sb.append(f"  geomean selectivity ${geo * 100}%.2f%%, rows removed $removed%,d across ${stats.size} probes")
+    // per-pass rollups, mirroring the reference's pass-level summary
+    stats.groupBy(_.pass).toSeq.sortBy(_._1).foreach { case (p, ss) =>
+      sb.append(f"  $p pass: ${ss.size} probes, geomean selectivity ${geo(ss) * 100}%.2f%%\n")
+    }
+    sb.append(f"  overall: geomean selectivity ${geo(stats) * 100}%.2f%%, rows removed $removed%,d across ${stats.size} probes")
     sb.toString
   }
 
