@@ -21,6 +21,30 @@ class SourcesSuite extends SparkTestBase {
     assert(fingerprint(json) == fingerprint(parquet))
   }
 
+  test("orc round-trips identically") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val parquet = spark.read.parquet(s"$sfDir/nation.parquet")
+    parquet.write.orc(s"$dir/nation_orc")
+    val orc = spark.read.orc(s"$dir/nation_orc")
+    assert(fingerprint(orc) == fingerprint(parquet))
+  }
+
+  test("partitioned sink enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.partitionBy("source").parquet(s"$dir/docs")
+    val df = spark.read.parquet(s"$dir/docs")
+      .where("source = 'web' AND doc_id >= 0")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the source predicate must prune partitions, not filter rows
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter missing:\n${plan.take(800)}")
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where("source = 'web'").count()
+    assert(df.count() == expected)
+  }
+
   test("rule rewrites joins over non-parquet sources too") {
     val dir = Files.createTempDirectory("graft_sources2").toString
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
