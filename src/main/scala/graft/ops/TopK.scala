@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Bounded top-k aggregate: keeps at most `2k` candidates per partial
+ * buffer and trims to `k` at the end — a map-side-combining top-k whose
+ * shuffle carries k rows per group per partition instead of every row.
+ * The scale-correct alternative to `row_number() OVER (...) <= k` when
+ * groups are huge (the window form sorts every row of every group).
+ *
+ * Returns the top `k` (value, id) pairs ordered by value desc, id asc
+ * (deterministic tie-break).
+ */
+object TopK {
+
+  type Pair = (Double, Long)
+
+  final class TopKAggregator(k: Int)
+      extends Aggregator[Pair, Seq[Pair], Seq[Pair]] {
+    require(k > 0)
+
+    private def order(p: Pair): (Double, Long) = (-p._1, p._2)
+    private def trim(buf: Seq[Pair], n: Int): Seq[Pair] =
+      buf.sortBy(order).take(n)
+
+    override def zero: Seq[Pair] = Vector.empty
+
+    override def reduce(buf: Seq[Pair], in: Pair): Seq[Pair] = {
+      val appended = buf :+ in
+      // amortize: only sort-trim when the buffer doubles past k
+      if (appended.size > 2 * k) trim(appended, k) else appended
+    }
+
+    override def merge(a: Seq[Pair], b: Seq[Pair]): Seq[Pair] =
+      trim(a ++ b, k)
+
+    override def finish(buf: Seq[Pair]): Seq[Pair] = trim(buf, k)
+
+    override def bufferEncoder: Encoder[Seq[Pair]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Pair]]()
+    override def outputEncoder: Encoder[Seq[Pair]] =
+      bufferEncoder
+  }
+
+  /** Column form: `df.groupBy(g).agg(TopK.topK(3)(col("v"), col("id")))`. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k))
+    (value, id) => fn(value, id)
+  }
+}
