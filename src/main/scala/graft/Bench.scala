@@ -5,7 +5,13 @@ package graft
   * action-to-completion (`count()` forces full execution); per query the
   * MIN of SPARK_GRAFT_BENCH_RUNS runs (default 2) is reported — the
   * reference's protocol (min of --runs N, test_job_queries.sh:169-199),
-  * and the right estimator on a noisy shared machine. */
+  * and the right estimator on a noisy shared machine.
+  *
+  * Fixture views are registered ONCE before any timing, so per-query numbers
+  * measure the query, not 10 parquet re-reads per invocation. A query run
+  * that throws is reported as -1 (never as a fast "win" of the min) and the
+  * failing queries are listed in an `errors` field.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,17 +20,28 @@ object Bench {
     // warm the JVM/session on the smallest fixture so per-query numbers
     // measure the queries, not first-use initialization
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // register the benchmark fixture's views outside the timed region
+    queries.QueryDef.views(spark, sfDir)
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName}"
+            None
+        }
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}""")
     spark.stop()
   }
 }

@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions.udaf
  * groups are huge (the window form sorts every row of every group).
  *
  * Returns the top `k` (value, id) pairs ordered by value desc, id asc
- * (deterministic tie-break).
+ * (deterministic tie-break). Rows with a NULL value or id are ignored,
+ * like built-in aggregates ignore null inputs (the window form would
+ * instead ORDER the nulls — callers needing null ranking should coalesce
+ * first).
  */
 object TopK {
 
   type Pair = (Double, Long)
+  /** Boxed input type so NULL value/id rows decode instead of failing. */
+  type In = (java.lang.Double, java.lang.Long)
 
   final class TopKAggregator(k: Int)
-      extends Aggregator[Pair, Seq[Pair], Seq[Pair]] {
+      extends Aggregator[In, Seq[Pair], Seq[Pair]] {
     require(k > 0)
 
     private def order(p: Pair): (Double, Long) = (-p._1, p._2)
@@ -28,8 +33,9 @@ object TopK {
 
     override def zero: Seq[Pair] = Vector.empty
 
-    override def reduce(buf: Seq[Pair], in: Pair): Seq[Pair] = {
-      val appended = buf :+ in
+    override def reduce(buf: Seq[Pair], in: In): Seq[Pair] = {
+      if (in._1 == null || in._2 == null) return buf // null-skip
+      val appended = buf :+ ((in._1.doubleValue, in._2.longValue))
       // amortize: only sort-trim when the buffer doubles past k
       if (appended.size > 2 * k) trim(appended, k) else appended
     }

@@ -32,8 +32,9 @@ object RptProfiling {
       val here = p match {
         // AQE wraps the final plan; query stages wrap materialized subtrees
         case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
-        case s: QueryStageExec => return walk(s.plan) ++
-          s.plan.subqueries.flatMap(walk)
+        // walk already visits each node's subqueries in its generic tail;
+        // adding s.plan.subqueries here would count them twice
+        case s: QueryStageExec => return walk(s.plan)
         case f: FilterExec
             if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) =>
           val out = f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)

@@ -20,6 +20,18 @@ class TopKSuite extends SparkTestBase {
     assert(fingerprint(agg) == fingerprint(window))
   }
 
+  test("null value/id rows are ignored, not a decode failure") {
+    import spark.implicits._
+    val df = Seq[(Option[Double], Option[Long])](
+      (Some(3.0), Some(1L)), (None, Some(2L)), (Some(9.0), None),
+      (Some(1.0), Some(4L)))
+      .toDF("v", "id")
+    val out = df.agg(TopK.topK(5)(col("v"), col("id")).as("top"))
+      .selectExpr("explode(top) AS t").selectExpr("t._1", "t._2")
+      .as[(Double, Long)].collect().toSeq
+    assert(out == Seq((3.0, 1L), (1.0, 4L)))
+  }
+
   test("top-k with k larger than group size returns the whole group") {
     import spark.implicits._
     val df = Seq((1.0, 1L), (2.0, 2L)).toDF("v", "id")
