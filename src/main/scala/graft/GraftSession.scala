@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies session
+    // confs (lets Bench/RptBench sweeps vary rpt settings without edits)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark.listenerManager.register(new rpt.RptProfiling.RptProfilingListener(spark))
     spark

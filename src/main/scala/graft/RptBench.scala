@@ -6,12 +6,21 @@ package graft
  * extension timing, faster/slower/same at a ±5% noise threshold, geometric
  * mean — :266-284, :380-384).
  *
+ * Protocol: per query, one untimed warmup, then N interleaved (off, on)
+ * pairs — interleaving keeps JIT/page-cache warmup from biasing whichever
+ * side runs first — reporting min(off)/min(on).
+ *
  * Two regimes per query:
  *  - `broadcast`: stock local settings (small dims broadcast; the regime
- *    of the sf fixtures on one node)
+ *    of the sf fixtures on one node). The rule STANDS DOWN here by design
+ *    (skipBroadcastableBuilds), so ~1.0x is the expected outcome.
  *  - `shuffle`: autoBroadcastJoinThreshold=-1 forces shuffle joins — the
  *    regime a 100 TB cluster join actually runs in, where semi-join
- *    reduction pays for shuffled bytes it avoids
+ *    reduction pays for shuffled bytes it avoids. This is where the rule
+ *    must win.
+ *
+ * Prints one human table per regime plus ONE machine-readable JSON line
+ * (prefix RPTBENCH_JSON) with per-query off/on seconds and geomeans.
  */
 object RptBench {
 
@@ -50,28 +59,33 @@ object RptBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = GraftSession.build(appName = "graft-rpt-bench")
     GraftSession.loadTables(spark, sfDir)
 
-    def best(sql: String): Double = (1 to runs).map { _ =>
+    def time(sql: String): Double = {
       val t0 = System.nanoTime()
       spark.sql(sql).count()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
 
     def cls(speedup: Double): String =
       if (speedup > 1.05) "faster" else if (speedup < 0.95) "slower" else "same"
 
-    Seq("broadcast" -> "10485760", "shuffle" -> "-1").foreach {
+    val regimeJsons = Seq("broadcast" -> "10485760", "shuffle" -> "-1").map {
       case (regime, bcThreshold) =>
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
         val rows = queries.toSeq.sortBy(_._1).map { case (name, sql) =>
           spark.conf.set("spark.graft.rpt.enabled", "false")
-          val off = best(sql)
-          spark.conf.set("spark.graft.rpt.enabled", "true")
-          val on = best(sql)
-          (name, off, on, off / on)
+          time(sql) // warmup, untimed
+          val (offs, ons) = (1 to runs).map { _ =>
+            spark.conf.set("spark.graft.rpt.enabled", "false")
+            val off = time(sql)
+            spark.conf.set("spark.graft.rpt.enabled", "true")
+            val on = time(sql)
+            (off, on)
+          }.unzip
+          (name, offs.min, ons.min, offs.min / ons.min)
         }
         val geo = math.exp(rows.map(r => math.log(r._4)).sum / rows.size)
         println(s"== regime: $regime (autoBroadcastJoinThreshold=$bcThreshold)")
@@ -82,7 +96,12 @@ object RptBench {
           s"(${rows.count(r => cls(r._4) == "faster")} faster / " +
           s"${rows.count(r => cls(r._4) == "slower")} slower / " +
           s"${rows.count(r => cls(r._4) == "same")} same)")
+        val qJson = rows.map { case (n, off, on, s) =>
+          f""""$n":{"off":$off%.3f,"on":$on%.3f,"speedup":$s%.3f}"""
+        }.mkString(",")
+        f""""$regime":{"geomean":$geo%.3f,"queries":{$qJson}}"""
     }
+    println(s"""RPTBENCH_JSON {"sf":"$sfDir","runs":$runs,${regimeJsons.mkString(",")}}""")
     spark.stop()
   }
 }

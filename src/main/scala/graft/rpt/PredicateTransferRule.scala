@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, Max, Min}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -40,7 +41,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * ReuseSubquery dedupes the repeated subquery instances that arise when one
  * build feeds several probes.
  */
-case class PredicateTransferRule() extends Rule[LogicalPlan] {
+case class PredicateTransferRule() extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   // alias prefix marks our subqueries (idempotence guard); the _fwd/_bwd
   // suffix lets profiling roll up selectivity per pass, like the
@@ -95,6 +97,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     val maxItems = RptConf.maxBfItems(conf)
     val defaultItems = RptConf.defaultBfItems(conf)
 
+    val buildForm = RptConf.buildForm(conf)
+
     // per-unit current (filtered-so-far) plan and accumulated conditions
     val cur = mutable.HashMap[Int, LogicalPlan]() ++
       graph.units.map(u => u.id -> u.plan)
@@ -108,6 +112,38 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
     // subqueries embedding other plans, and so on).
     lazy val fwdFinal = mutable.HashMap[Int, LogicalPlan]()
     var inBackward = false
+
+    // semijoin build form: per-unit reduced VIEW = unit plan ⋉ the reduced
+    // views of its already-scheduled build sides. Self-contained (no
+    // nested subqueries), so builds parallelize; `members` guards against
+    // embedding one unit twice in a tree (diamond-shaped DAG schedules),
+    // which would duplicate ExprIds across two sides of a join.
+    case class Reduced(
+        unit: TableUnit,
+        semis: Vector[(LogicalPlan, Expression)],
+        members: Set[Int]) {
+      /** Self-contained plan outputting (at least) `needed`'s attributes,
+       *  with each leaf scan pruned to the columns its joins require. */
+      def materialize(needed: Seq[Expression]): LogicalPlan = {
+        val leftNeeded = AttributeSet(needed.flatMap(_.references)) ++
+          AttributeSet(semis.flatMap(_._2.references))
+        val kept = unit.plan.output.filter(leftNeeded.contains)
+        val base: LogicalPlan =
+          if (kept.isEmpty || kept.size == unit.plan.output.size) unit.plan
+          else Project(kept, unit.plan)
+        semis.foldLeft(base) { case (acc, (rightPlan, cond)) =>
+          // the reducer side is key-projected and gate-bounded: hint it
+          // broadcast so the build subquery stays a single scan stage
+          // instead of paying shuffle rounds of its own (its size bound is
+          // the same order as the bloom filter it produces)
+          Join(acc, rightPlan, LeftSemi, Some(cond),
+            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+        }
+      }
+    }
+    val reduced = mutable.HashMap[Int, Reduced]() ++
+      graph.units.map(u => u.id -> Reduced(u, Vector.empty, Set(u.id)))
+    lazy val fwdReduced = mutable.HashMap[Int, Reduced]()
 
     // One plain single-alias Aggregate subquery per value (bloom filter /
     // min / max). This is exactly the shape Catalyst's MergeScalarSubqueries
@@ -123,44 +159,107 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
         Aggregate(Nil, Seq(Alias(expr, alias)()), projected))
     }
 
-    // cost gates (see RptConf scaladoc): don't probe tiny units, don't
-    // build over huge ones. Un-probed units also keep their build plans
-    // flat, which collapses the nested-subquery cascade.
+    // The reference's backward-pass broadcast optimization: ONE bloom
+    // filter per (build unit, keys, pass), probed by every member of the
+    // join-key equivalence class (rpt_optimizer.cpp:1070-1158). Sharing
+    // the same ScalarSubquery EXPRESSION (same exprId) across probes is
+    // what guarantees one execution — AQE's subquery map is keyed by
+    // exprId, and relying on post-hoc ReuseSubquery canonicalization was
+    // measured NOT to fire across separately-instantiated subqueries.
+    // Cache hits return the build as of the class's FIRST op (the highest
+    // ancestor's snapshot) — a superset filter, always correct.
+    val subqCache = mutable.HashMap[(Int, String, Boolean, String),
+      ScalarSubquery]()
+    def sharedScalarAgg(kind: String, mkExpr: => Expression,
+        buildPlan: => LogicalPlan, keys: Seq[Expression], forward: Boolean,
+        buildId: Int): ScalarSubquery = {
+      val key = (buildId,
+        keys.map(_.canonicalized.toString).mkString(";"), forward, kind)
+      subqCache.getOrElseUpdate(key,
+        scalarAgg(mkExpr, buildPlan, keys, forward))
+    }
+
+    // cost gates (see RptConf scaladoc): build only over selectively
+    // filtered units, skip builds that would broadcast anyway, don't
+    // build over huge ones.
     val minProbeRows = RptConf.minProbeRows(conf).toDouble
     val maxBuildRows = RptConf.maxBuildRows(conf).toDouble
     val buildProbeRatio = RptConf.minBuildProbeRatio(conf)
+    val filteredOnly = RptConf.filteredBuildsOnly(conf)
+    val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
+    val bcThreshold = conf.autoBroadcastJoinThreshold
 
     ops.foreach { op =>
       if (!inBackward && !op.forward) {
         inBackward = true
-        graph.units.foreach(u => fwdFinal(u.id) = cur(u.id))
+        graph.units.foreach { u =>
+          fwdFinal(u.id) = cur(u.id)
+          fwdReduced(u.id) = reduced(u.id)
+        }
       }
-      val gated = graph.units(op.probe).card < minProbeRows ||
-        graph.units(op.build).card > maxBuildRows ||
+      // the cascade view doubles as the "is this unit filtered yet" record
+      // for the cascade form's gate
+      val cascadePlan = if (inBackward) fwdFinal(op.build) else cur(op.build)
+      val reducedBuild =
+        if (inBackward) fwdReduced(op.build) else reduced(op.build)
+      // a build side is worth transferring from once it carries a selective
+      // predicate — statically, or through its own reducers (semis are
+      // added only from filtered builds, so non-empty semis => filtered)
+      val buildFiltered =
+        if (buildForm == "semijoin") {
+          reducedBuild.semis.nonEmpty ||
+            selectivelyFiltered(reducedBuild.unit.plan)
+        } else selectivelyFiltered(cascadePlan)
+      val buildGated = graph.units(op.build).card > maxBuildRows ||
+        (filteredOnly && !buildFiltered)
+      val gated = buildGated ||
+        graph.units(op.probe).card < minProbeRows ||
         (buildProbeRatio > 0 &&
           graph.units(op.build).card * buildProbeRatio >
-            graph.units(op.probe).card)
+            graph.units(op.probe).card) ||
+        (skipBroadcastable && bcThreshold > 0 &&
+          graph.units(op.build).plan.stats.sizeInBytes <= bcThreshold)
+      // extend the probe's reduced view whenever the BUILD side qualifies,
+      // even when the probe-side filter is gated (e.g. a tiny probe unit):
+      // the reduction must ride through small units to the big tables
+      // behind them, without those units paying a probe subquery of their
+      // own. Skip on member overlap (diamond) — embedding a unit twice
+      // would duplicate ExprIds across two sides of a join.
+      if (buildForm == "semijoin" && !buildGated &&
+          (reducedBuild.members & reduced(op.probe).members).isEmpty) {
+        val rp = reduced(op.probe)
+        val jcond = op.probeKeys.zip(op.buildKeys)
+          .map { case (pk, bk) => EqualTo(pk, bk): Expression }
+          .reduce(And)
+        reduced(op.probe) = rp.copy(
+          semis = rp.semis :+
+            ((reducedBuild.materialize(op.buildKeys), jcond)),
+          members = rp.members ++ reducedBuild.members)
+      }
       if (!gated) {
-        val buildPlan = if (inBackward) fwdFinal(op.build) else cur(op.build)
+        val buildPlan =
+          if (buildForm == "semijoin") reducedBuild.materialize(op.buildKeys)
+          else cascadePlan
         val conds = mutable.ArrayBuffer[Expression]()
         if (withBf) {
-          val est = estimatedItems(buildPlan, graph.units(op.build).card,
-            maxItems, defaultItems)
-          val bfAgg = new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
-            .toAggregateExpression()
           conds += BloomFilterMightContain(
-            scalarAgg(bfAgg, buildPlan, op.buildKeys, op.forward),
+            sharedScalarAgg("bf", {
+              val est = estimatedItems(buildPlan,
+                graph.units(op.build).card, maxItems, defaultItems)
+              new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
+                .toAggregateExpression()
+            }, buildPlan, op.buildKeys, op.forward, op.build),
             new XxHash64(op.probeKeys))
         }
         if (withMinmax) {
           op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
             if (RowOrdering.isOrderable(bk.dataType)) {
               conds += GreaterThanOrEqual(pk,
-                scalarAgg(Min(bk).toAggregateExpression(), buildPlan,
-                  Seq(bk), op.forward))
+                sharedScalarAgg("min", Min(bk).toAggregateExpression(),
+                  buildPlan, Seq(bk), op.forward, op.build))
               conds += LessThanOrEqual(pk,
-                scalarAgg(Max(bk).toAggregateExpression(), buildPlan,
-                  Seq(bk), op.forward))
+                sharedScalarAgg("max", Max(bk).toAggregateExpression(),
+                  buildPlan, Seq(bk), op.forward, op.build))
             }
           }
         }
@@ -187,6 +286,21 @@ case class PredicateTransferRule() extends Rule[LogicalPlan] {
       else rebuilt
     }
     splice(plan)
+  }
+
+  /** A unit plan counts as selectively filtered when it contains a Filter
+   *  with at least one conjunct beyond null-intolerance bookkeeping — a
+   *  user predicate, or a transfer filter an earlier op landed (which is
+   *  what propagates "filtered" transitively along the schedule). The
+   *  reference's filtered/unfiltered table classification
+   *  (src/transfer_graph_manager.hpp:103-114). */
+  private def selectivelyFiltered(p: LogicalPlan): Boolean = p.exists {
+    case Filter(cond, _) =>
+      splitConjunctivePredicates(cond).exists {
+        case _: IsNotNull => false
+        case _ => true
+      }
+    case _ => false
   }
 
   /** Bloom-filter sizing from build-side stats (the reference sizes at

@@ -46,14 +46,34 @@ object RptConf {
    *  rpt_extension.cpp:68-69, FlipRootsToLeaves rpt_optimizer.cpp:715-810). */
   val FLIP_ROOTS = "spark.graft.rpt.flipRoots"
   /** Only inject a probe filter when the probe unit's estimated
-   *  cardinality is at least this many rows — probing a tiny table can
-   *  never repay the bloom-filter build, and un-probed small units keep
-   *  their build-side plans flat (no nested subquery cascades). The
-   *  reference has no such gate (it schedules every edge,
-   *  rpt_optimizer.cpp:876-995); Spark's own InjectRuntimeFilter applies
-   *  the same idea as byte thresholds. Set 0 for reference-faithful
-   *  behavior. */
+   *  cardinality is at least this many rows — a small probe target saves
+   *  less in shuffled bytes than its build subquery costs in scheduling.
+   *  Crucially this gates only the probe FILTER: in the `semijoin` build
+   *  form the reduction still rides through gated units via their reduced
+   *  views, so a selective filter crosses a tiny dim to the big tables
+   *  behind it without the dim paying a probe of its own (the round-2
+   *  regression was gating BOTH, which severed every cascade at its
+   *  smallest hop). The reference schedules every edge
+   *  (rpt_optimizer.cpp:876-995); 0 restores that. */
   val MIN_PROBE_ROWS = "spark.graft.rpt.minProbeRows"
+  /** Only build bloom filters over units that carry a SELECTIVE predicate
+   *  — a static filter beyond IsNotNull, or a transfer filter landed by an
+   *  earlier op. An unfiltered build side's filter contains every key it
+   *  ever joins with, removes ~nothing on FK-shaped data, and still costs
+   *  a build subquery + a per-row probe. The reference classifies tables
+   *  into filtered/unfiltered/intermediate for the same reason
+   *  (src/transfer_graph_manager.hpp:103-114). `false` =
+   *  reference-faithful (transfer on every edge). */
+  val FILTERED_BUILDS_ONLY = "spark.graft.rpt.filteredBuildsOnly"
+  /** Skip ops whose build side is small enough to be broadcast
+   *  (sizeInBytes <= spark.sql.autoBroadcastJoinThreshold): the broadcast
+   *  hash join probes its hash table in the SAME codegen stage as the
+   *  probe-side scan, so a bloom filter in front of it saves nothing and
+   *  still pays its build (measured: geomean 0.67x with broadcast joins,
+   *  i.e. pure regression). Spark's own InjectRuntimeFilter gates on
+   *  probable-shuffle-join identically. In the shuffle regime (threshold
+   *  -1, or big build sides at cluster scale) this gate never fires. */
+  val SKIP_BROADCASTABLE_BUILDS = "spark.graft.rpt.skipBroadcastableBuilds"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -68,6 +88,18 @@ object RptConf {
    *  the big root). 0 disables the gate (reference-faithful: it schedules
    *  every edge in both passes). */
   val MIN_BUILD_PROBE_RATIO = "spark.graft.rpt.minBuildProbeRatio"
+  /** How each op's bloom-filter build subquery is shaped:
+   *  `semijoin` (default) — a self-contained LeftSemi join tree over base
+   *  table units (build unit ⋉ its already-scheduled reducers). Every
+   *  subquery is independent, so ALL builds execute in parallel — the
+   *  Spark analog of the reference's pipeline-dependency DAG executing
+   *  CREATE_BFs as their inputs become ready
+   *  (physical_create_bf.cpp:559-613).
+   *  `cascade` — build over the probe-filtered-so-far plan, i.e. each
+   *  build's subquery NESTS the previous hop's subquery. Mirrors the
+   *  reference's stacked operators most literally, but nested subqueries
+   *  execute sequentially (a chain of k hops pays k job waves). */
+  val BUILD_FORM = "spark.graft.rpt.buildForm"
   /** Cap on estimated distinct items used to size each bloom filter. */
   val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
   /** Default estimated items when the build side has no row-count stats. */
@@ -102,7 +134,13 @@ object RptConf {
   def displayDag(conf: SQLConf): Boolean =
     conf.getConfString(DISPLAY_DAG, "false").toBoolean
   def minProbeRows(conf: SQLConf): Long =
-    conf.getConfString(MIN_PROBE_ROWS, "4096").toLong
+    conf.getConfString(MIN_PROBE_ROWS, "65536").toLong
+  def filteredBuildsOnly(conf: SQLConf): Boolean =
+    conf.getConfString(FILTERED_BUILDS_ONLY, "true").toBoolean
+  def skipBroadcastableBuilds(conf: SQLConf): Boolean =
+    conf.getConfString(SKIP_BROADCASTABLE_BUILDS, "true").toBoolean
+  def buildForm(conf: SQLConf): String =
+    normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def minBuildProbeRatio(conf: SQLConf): Double =

@@ -64,7 +64,11 @@ class SourcesSuite extends SparkTestBase {
         |JOIN j_customer ON c_nationkey = n_nationkey
         |JOIN j_orders ON o_custkey = c_custkey
         |WHERE n_name LIKE 'NATION_1%' GROUP BY n_name""".stripMargin
-    withConf(graft.rpt.RptConf.ENABLED -> "true") {
+    // shuffle regime + gates open: the fixture is tiny, and the point here
+    // is that the MECHANISM works over non-parquet sources
+    withConf(graft.rpt.RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      graft.rpt.RptConf.MIN_PROBE_ROWS -> "0") {
       val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain"), "no transfer over json sources")
       val on = fingerprint(spark.sql(sql))

@@ -73,7 +73,10 @@ class PredicateTransferSuite extends SparkTestBase {
   }
 
   test("injected bloom-filter probes appear in the optimized plan") {
-    withConf(RptConf.ENABLED -> "true") {
+    // shuffle regime: with broadcastable builds the rule stands down by
+    // design (see "broadcast regime" test below)
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val df = spark.sql(queries("chain5"))
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain") ||
@@ -91,7 +94,8 @@ class PredicateTransferSuite extends SparkTestBase {
   }
 
   test("forwardOnly pass mode produces fewer filters") {
-    def countProbes(): Int = withConf(RptConf.ENABLED -> "true") {
+    def countProbes(): Int = withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
       "might_contain".r.findAllIn(s).length
     }
@@ -101,7 +105,8 @@ class PredicateTransferSuite extends SparkTestBase {
   }
 
   test("minmaxOnly filter type injects range predicates, no bloom filters") {
-    withConf(RptConf.ENABLED -> "true", RptConf.FILTER_TYPE -> "minmaxOnly") {
+    withConf(RptConf.ENABLED -> "true", RptConf.FILTER_TYPE -> "minmaxOnly",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
       assert(!s.contains("might_contain"))
       assert(s.contains("graft_rpt_bf"))
@@ -123,7 +128,8 @@ class PredicateTransferSuite extends SparkTestBase {
 
   test("joinOrder heuristic injects probes; flipRoots toggles cleanly") {
     def probes(flip: String): Int = withConf(RptConf.ENABLED -> "true",
-      RptConf.HEURISTIC -> "join_order", RptConf.FLIP_ROOTS -> flip) {
+      RptConf.HEURISTIC -> "join_order", RptConf.FLIP_ROOTS -> flip,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
       "might_contain".r.findAllIn(s).length
     }
@@ -139,7 +145,8 @@ class PredicateTransferSuite extends SparkTestBase {
   }
 
   test("profiling reports per-probe selectivity after execution") {
-    withConf(RptConf.ENABLED -> "true") {
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val df = spark.sql(queries("chain5"))
       df.collect()
       val stats = RptProfiling.probeStats(df.queryExecution)
@@ -175,8 +182,49 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("broadcast regime: rule stands down unless the gate is disabled") {
+    // with broadcastable build sides a BHJ probes its hash table in the
+    // same stage as the scan, so transfer can only lose (measured geomean
+    // 0.67x); the rule must inject NOTHING under the default threshold
+    withConf(RptConf.ENABLED -> "true") {
+      val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
+      assert(!s.contains("might_contain"),
+        "rule injected probes for broadcastable builds")
+    }
+    // reference-faithful override: gate off => probes return
+    withConf(RptConf.ENABLED -> "true",
+      RptConf.SKIP_BROADCASTABLE_BUILDS -> "false") {
+      val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
+      assert(s.contains("might_contain"),
+        "gate disabled but still no probes")
+    }
+  }
+
+  test("filtered-builds-only gate: unfiltered builds transfer nothing") {
+    // a query whose dims carry NO selective predicate: every bloom filter
+    // would contain every key — the gate must suppress all of them
+    val noFilter =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val s = spark.sql(noFilter).queryExecution.optimizedPlan.toString
+      assert(!s.contains("might_contain"),
+        "unfiltered builds still transferred")
+    }
+    // reference-faithful override schedules every edge again
+    withConf(RptConf.ENABLED -> "true",
+      RptConf.FILTERED_BUILDS_ONLY -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val s = spark.sql(noFilter).queryExecution.optimizedPlan.toString
+      assert(s.contains("might_contain"), "override did not restore transfer")
+    }
+  }
+
   test("cost gate suppresses probes of tiny units") {
     withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       RptConf.MIN_PROBE_ROWS -> "1000000000") {
       val s = spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString
       assert(!s.contains("might_contain"),
