@@ -17,19 +17,23 @@ import org.apache.spark.sql.catalyst.plans.logical._
  * (reference: src/optimizer/rpt_optimizer.cpp:74-133,
  * src/optimizer/table_manager.cpp:41-62).
  *
- * @param card      estimated cardinality (rowCount stat, else a
- *                  sizeInBytes-derived proxy) — used only for *relative*
- *                  ordering (root choice, level sort), like the reference's
+ * @param card      estimated cardinality: rowCount stat, else parquet
+ *                  footer metadata ([[ParquetRowCounts]]), else a
+ *                  sizeInBytes-derived proxy — the reference's
  *                  `estimated_cardinality` (table_manager.cpp:64-69).
  * @param buildable false when a bloom filter must not be BUILT over this
  *                  unit (non-deterministic interior: a subquery re-execution
  *                  would see different rows than the main plan).
+ * @param cardMeasured true when `card` came from stats or parquet footers
+ *                  (trustworthy for bloom-filter sizing), false for the
+ *                  bytes proxy (relative ordering only).
  */
 case class TableUnit(
     id: Int,
     plan: LogicalPlan,
     card: Double,
-    buildable: Boolean)
+    buildable: Boolean,
+    cardMeasured: Boolean = false)
 
 /**
  * An equi-join edge between two table units. `keyPairs` holds the join-key
@@ -88,11 +92,19 @@ object JoinGraph extends PredicateHelper {
       JoinGraph(units.toIndexedSeq, edges.toIndexedSeq)
     }
 
-    private def cardOf(p: LogicalPlan): Double = {
+    /** (cardinality, measured?) — rowCount stat, else parquet footers of
+     *  a single-leaf unit, else the sizeInBytes proxy. */
+    private def cardOf(p: LogicalPlan): (Double, Boolean) = {
       val s = p.stats
-      s.rowCount.map(_.toDouble).getOrElse {
-        // sizeInBytes proxy: assume ~32 bytes/row; only relative order matters
-        math.max(1.0, s.sizeInBytes.toDouble / 32.0)
+      s.rowCount.map(c => (c.toDouble, true)).getOrElse {
+        val footerCount = p.collectLeaves() match {
+          case Seq(leaf) => ParquetRowCounts.rowCount(leaf)
+          case _ => None
+        }
+        footerCount.map(c => (c.toDouble, true)).getOrElse {
+          // sizeInBytes proxy: ~32 bytes/row; only relative order matters
+          (math.max(1.0, s.sizeInBytes.toDouble / 32.0), false)
+        }
       }
     }
 
@@ -101,7 +113,9 @@ object JoinGraph extends PredicateHelper {
 
     private def registerUnit(p: LogicalPlan): Int = {
       val id = units.size
-      units += TableUnit(id, p, cardOf(p), buildable = isDeterministicTree(p))
+      val (card, measured) = cardOf(p)
+      units += TableUnit(id, p, card, buildable = isDeterministicTree(p),
+        cardMeasured = measured)
       p.output.foreach(a => attrToUnit(a.exprId) = id)
       id
     }

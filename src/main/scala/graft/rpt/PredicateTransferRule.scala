@@ -245,7 +245,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           conds += BloomFilterMightContain(
             sharedScalarAgg("bf", {
               val est = estimatedItems(buildPlan,
-                graph.units(op.build).card, maxItems, defaultItems)
+                graph.units(op.build), maxItems, defaultItems)
               new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
                 .toAggregateExpression()
             }, buildPlan, op.buildKeys, op.forward, op.build),
@@ -304,15 +304,22 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
   }
 
   /** Bloom-filter sizing from build-side stats (the reference sizes at
-   *  finalize from true cardinality, physical_create_bf.cpp:382-406; we size
-   *  statically from stats — SURVEY.md §4.1 #11). */
+   *  finalize from true cardinality, physical_create_bf.cpp:382-406; we
+   *  size statically — SURVEY.md §4.1 #11). Preference order: rowCount of
+   *  the filtered build plan (CBO), the unit's measured cardinality
+   *  (parquet footers — an upper bound of the filtered build, i.e. a
+   *  conservative, lower-FPR size), then the defaultItems clamp for
+   *  unmeasured proxies. Floor 4096 keeps degenerate builds out of the
+   *  high-FPR regime; cap maxItems bounds filter memory/broadcast cost. */
   private def estimatedItems(
       buildPlan: LogicalPlan,
-      unitCard: Double,
+      unit: TableUnit,
       maxItems: Long,
       defaultItems: Long): Long = {
-    val est = buildPlan.stats.rowCount.map(_.toDouble)
-      .getOrElse(math.min(unitCard, defaultItems.toDouble))
+    val est = buildPlan.stats.rowCount.map(_.toDouble).getOrElse {
+      if (unit.cardMeasured) unit.card
+      else math.min(unit.card, defaultItems.toDouble)
+    }
     math.max(4096L, math.min(est.toLong, maxItems))
   }
 }

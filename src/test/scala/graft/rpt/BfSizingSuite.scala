@@ -1,0 +1,100 @@
+package graft.rpt
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, BloomFilterAggregate}
+
+/**
+ * Pins bloom-filter sizing to build cardinality (VERDICT r02 #5): the
+ * reference resizes at finalize from TRUE cardinality
+ * (physical_create_bf.cpp:382-406, rule `rows*8 > allocated_bits`); we
+ * size statically, so the static estimate must track the build — an
+ * under-sized filter silently degrades FPR at scale, an over-sized
+ * default (the old 1M-items fallback for a 5-row dim) wastes broadcast
+ * bytes and build time.
+ */
+class BfSizingSuite extends SparkTestBase {
+
+  private def bfAggs(sql: String): Seq[BloomFilterAggregate] = {
+    val plan = spark.sql(sql).queryExecution.optimizedPlan
+    val out = collection.mutable.ArrayBuffer[BloomFilterAggregate]()
+    def fromPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      p.foreach(_.expressions.foreach(_.foreach {
+        case ss: ScalarSubquery => fromPlan(ss.plan)
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case bf: BloomFilterAggregate => out += bf
+            case _ => ()
+          }
+        case _ => ()
+      }))
+    fromPlan(plan)
+    out.toSeq
+  }
+
+  private def estItems(bf: BloomFilterAggregate): Long =
+    bf.estimatedNumItemsExpression.asInstanceOf[Literal]
+      .value.asInstanceOf[Number].longValue()
+
+  test("parquet footer row counts are exact on fixture tables") {
+    for (t <- Seq("region", "nation", "part", "orders", "lineitem")) {
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val leaf = df.queryExecution.optimizedPlan.collectLeaves().head
+      val counted = ParquetRowCounts.rowCount(leaf)
+      assert(counted.contains(df.count()),
+        s"$t: footer count $counted != actual ${df.count()}")
+    }
+  }
+
+  test("bloom filter item estimate tracks build cardinality within 4x") {
+    val sql =
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size < 10""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val aggs = bfAggs(sql)
+      assert(aggs.nonEmpty, "no bloom filter aggregates injected")
+      val partRows = spark.read.parquet(s"$sfDir/part.parquet").count()
+      val lineitemRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val bound = math.max(4L * math.max(partRows, lineitemRows), 4096L)
+      aggs.foreach { bf =>
+        val est = estItems(bf)
+        // upper: within 4x of the LARGEST possible build (or the 4096
+        // floor) — catches the old 1M-default-for-a-tiny-dim failure mode
+        assert(est <= bound, s"BF sized $est for builds of <= " +
+          s"${math.max(partRows, lineitemRows)} rows")
+        // lower: never under-sized below the floor
+        assert(est >= 4096L, s"BF sized $est below the FPR floor")
+      }
+    }
+  }
+
+  test("unmeasured builds fall back to the defaultItems clamp, not 1M+") {
+    // a non-parquet (in-memory) build side has neither stats rowCount nor
+    // footers: the default clamp must bound the estimate
+    import spark.implicits._
+    (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("mem_dim")
+    (1 to 50).map(i => (i.toLong, s"w$i")).toDF("k2", "v2")
+      .createOrReplaceTempView("mem_dim2")
+    val sql =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN mem_dim ON l_partkey = k
+        |JOIN mem_dim2 ON l_suppkey = k2
+        |WHERE v LIKE 'v%'""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.DEFAULT_BF_ITEMS -> "8192") {
+      val aggs = bfAggs(sql)
+      assert(aggs.nonEmpty, "no bloom filter aggregates injected")
+      aggs.foreach { bf =>
+        val est = estItems(bf)
+        assert(est <= 65536L,
+          s"unmeasured build sized $est — default clamp not applied")
+      }
+    }
+  }
+}
