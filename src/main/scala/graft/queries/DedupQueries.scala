@@ -49,6 +49,13 @@ object DedupQueries {
   private val duckHash60 =
     "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
+  // Document-frequency cutoff for d03: shingles in more docs than this
+  // are dropped before pair generation (k docs sharing a shingle -> k^2
+  // join pairs; boilerplate shingles at corpus scale would dominate the
+  // shuffle). 64 is far above any fixture shingle's df, so small-scale
+  // results are unchanged; at 100 TB it is the standard stop-shingle cap.
+  val hotShingleDf = 64
+
   // 8 fixed universal-hash (a, b) pairs for the MinHash permutations:
   // odd multipliers < 2^26 so a * hb < 2^56 stays overflow-safe in both
   // engines' BIGINT arithmetic
@@ -89,9 +96,16 @@ object DedupQueries {
     // cartesian): candidates share >=1 shingle; emit integer set sizes.
     // The join key is the 60-bit shingle hash, not the string — at scale
     // the self-join shuffle moves 8-byte ints instead of full shingles
-    // (collisions: identical on both engines, so results stay comparable)
+    // (collisions: identical on both engines, so results stay comparable).
+    // Hot-shingle cap: a shingle occurring in > HOT_SHINGLE_DF docs (web
+    // boilerplate) contributes k^2 candidate pairs while carrying ~zero
+    // similarity signal — it is dropped from the shingle SET (sizes and
+    // intersections consistently, both dialects, so the oracle matches).
+    // The hot set is tiny, so the exclusion is a broadcast anti-join.
     dialect("d03_ngram_jaccard",
-      s"""WITH shh AS ($sparkShingles),
+      s"""WITH shh0 AS ($sparkShingles),
+         |shh AS (SELECT doc_id, h FROM shh0 WHERE h NOT IN (
+         |  SELECT h FROM shh0 GROUP BY h HAVING count(*) > $hotShingleDf)),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
@@ -103,7 +117,9 @@ object DedupQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin,
-      s"""WITH shh AS ($duckShingles),
+      s"""WITH shh0 AS ($duckShingles),
+         |shh AS (SELECT doc_id, h FROM shh0 WHERE h NOT IN (
+         |  SELECT h FROM shh0 GROUP BY h HAVING count(*) > $hotShingleDf)),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt

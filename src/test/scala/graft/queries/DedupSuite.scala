@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** d03's hot-shingle document-frequency cap (DedupQueries.hotShingleDf):
+  * scale guard against k^2 pair blowup from boilerplate shingles. */
+class DedupSuite extends SparkTestBase {
+
+  private def sparkD03(): org.apache.spark.sql.DataFrame =
+    DedupQueries.defs.find(_.name == "d03_ngram_jaccard").get
+      .fn(spark, sfDir)
+
+  test("cap is inert on the fixture corpus (no fixture shingle is hot)") {
+    val capped = fingerprint(sparkD03())
+    val maxDf = spark.sql(
+      """SELECT max(cnt) AS m FROM (
+        |  SELECT h, count(*) AS cnt FROM (
+        |    SELECT DISTINCT doc_id,
+        |           graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
+        |    FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+        |          WHERE size(split(text, ' ')) >= 3) d
+        |    LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i)
+        |  GROUP BY h)""".stripMargin).collect()(0).getLong(0)
+    assert(maxDf <= DedupQueries.hotShingleDf,
+      s"fixture has a shingle in $maxDf docs — cap would change results; " +
+        "raise hotShingleDf or this invariant no longer holds")
+    assert(capped.nonEmpty, "d03 returned nothing on the fixture")
+  }
+
+  test("boilerplate corpus: hot shingles generate zero candidate pairs") {
+    val fixtureDocs = tables("documents")
+    try {
+      import spark.implicits._
+      // 100 identical docs: every shingle has df=100 > cap -> no pairs
+      // (without the cap this corpus generates 100*99/2 candidate pairs
+      // per shingle — the k^2 blowup the cap exists to stop)
+      (1 to 100).map(i =>
+          (i.toLong, "common boilerplate sentence repeated in every doc", "s"))
+        .toDF("doc_id", "text", "source")
+        .createOrReplaceTempView("documents")
+      val out = sparkD03().collect()
+      assert(out.isEmpty,
+        s"expected no pairs from all-hot shingles, got ${out.length}")
+    } finally {
+      fixtureDocs.createOrReplaceTempView("documents")
+    }
+  }
+}
