@@ -2,39 +2,52 @@ package graft.rpt
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-import org.apache.spark.sql.execution.{FilterExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.{BaseSubqueryExec, FilterExec, QueryExecution, ReusedSubqueryExec, ScalarSubquery => ExecScalarSubquery, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /**
- * Post-execution selectivity report for injected transfer filters — the
- * analog of the reference's profiling surface (`rpt_profiling`,
- * src/include/rpt_profiling.hpp:16-217: per-op rows in/out, probe timing,
- * per-pass selectivity rollups).
+ * Post-execution report for injected transfer filters — the analog of the
+ * reference's profiling surface (`rpt_profiling`,
+ * src/include/rpt_profiling.hpp:16-217: per-op rows in/out, sink/probe/
+ * finalize timing, per-pass selectivity rollups).
  *
  * Spark-native mechanics: every injected probe is a `FilterExec` whose
  * condition contains `BloomFilterMightContain`, and every build is a
  * subquery; both already carry SQLMetrics. The report reads those metrics
- * after an action has run — no extra instrumentation in the hot path.
+ * after an action has run — no extra instrumentation in the hot path:
+ *  - probe rows in/out: the filter's and its child's `numOutputRows`;
+ *  - probe time: the `pipelineTime` of the enclosing whole-stage-codegen
+ *    span (the probe runs fused with its scan, so stage time is the
+ *    honest Spark equivalent of the reference's per-op probe µs);
+ *  - build time/size: each build subquery's `collectTime`/`dataSize`.
  */
 object RptProfiling {
 
   final case class ProbeStat(
-      node: String, pass: String, rowsIn: Long, rowsOut: Long) {
+      node: String, pass: String, rowsIn: Long, rowsOut: Long,
+      stageMs: Long) {
     def selectivity: Double =
       if (rowsIn <= 0) 1.0 else rowsOut.toDouble / rowsIn.toDouble
   }
 
-  /** Collect per-probe-filter rows in/out from executed-plan metrics.
-   *  Valid after an action (metrics are zero before execution). */
+  final case class BuildStat(
+      name: String, collectMs: Long, dataBytes: Long, reused: Boolean)
+
+  /** Collect per-probe-filter rows in/out (+ enclosing codegen-stage time)
+   *  from executed-plan metrics. Valid after an action. */
   def probeStats(qe: QueryExecution): Seq[ProbeStat] = {
-    def walk(p: SparkPlan): Seq[ProbeStat] = {
+    def walk(p: SparkPlan, stageMs: Long): Seq[ProbeStat] = {
       val here = p match {
         // AQE wraps the final plan; query stages wrap materialized subtrees
-        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
+        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan, stageMs)
         // walk already visits each node's subqueries in its generic tail;
         // adding s.plan.subqueries here would count them twice
-        case s: QueryStageExec => return walk(s.plan)
+        case s: QueryStageExec => return walk(s.plan, stageMs)
+        case w: WholeStageCodegenExec =>
+          val t = w.metrics.get("pipelineTime").map(_.value).getOrElse(-1L)
+          return w.children.flatMap(walk(_, t)) ++
+            w.subqueries.flatMap(walk(_, -1L))
         case f: FilterExec
             if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) =>
           val out = f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
@@ -43,31 +56,79 @@ object RptProfiling {
           // the subquery's output attribute carries the pass-tagged alias
           // (robust against ReusedSubquery's terse string form)
           val aliases = f.condition.collect {
-            case s: org.apache.spark.sql.execution.ScalarSubquery =>
-              s.plan.output.map(_.name)
+            case s: ExecScalarSubquery => s.plan.output.map(_.name)
           }.flatten ++ Seq(f.condition.toString)
           val pass =
             if (aliases.exists(_.contains("graft_rpt_bf_bwd"))) "backward"
             else if (aliases.exists(_.contains("graft_rpt_bf_fwd"))) "forward"
             else "?"
-          Seq(ProbeStat(f.child.nodeName, pass, in, out))
+          Seq(ProbeStat(f.child.nodeName, pass, in, out, stageMs))
         case _ => Nil
       }
-      here ++ p.children.flatMap(walk) ++
-        p.subqueries.flatMap(walk)
+      here ++ p.children.flatMap(walk(_, stageMs)) ++
+        p.subqueries.flatMap(walk(_, -1L))
     }
-    walk(qe.executedPlan)
+    walk(qe.executedPlan, -1L)
   }
 
-  /** Human-readable report: one line per probe + rollups (geomean
-   *  selectivity and total rows removed, mirroring the reference's per-pass
-   *  summary, rpt_profiling.hpp:122-216). */
+  /** Per-build timings from subquery metrics, deduped by executed instance
+   *  (a reused probe contributes no second build). */
+  def buildStats(qe: QueryExecution): Seq[BuildStat] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val out = collection.mutable.ArrayBuffer[BuildStat]()
+    def record(b: BaseSubqueryExec, reused: Boolean): Unit = {
+      if (b.schema.fieldNames.exists(_.startsWith("graft_rpt_bf")) &&
+          seen.add(b)) {
+        out += BuildStat(
+          b.schema.fieldNames.head,
+          b.metrics.get("collectTime").map(_.value).getOrElse(-1L),
+          b.metrics.get("dataSize").map(_.value).getOrElse(-1L),
+          reused)
+      }
+    }
+    def walk(p: SparkPlan): Unit = {
+      val node = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case s: QueryStageExec => s.plan
+        case other => other
+      }
+      if (!(node eq p)) return walk(node)
+      p.expressions.foreach(_.foreach {
+        case ss: ExecScalarSubquery =>
+          ss.plan match {
+            case r: ReusedSubqueryExec => record(r.child, reused = true)
+            case b: BaseSubqueryExec => record(b, reused = false); walk(b)
+            case _ => ()
+          }
+        case _ => ()
+      })
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(qe.executedPlan)
+    out.toSeq
+  }
+
+  /** Human-readable report: one line per probe and per build + rollups
+   *  (geomean selectivity, rows removed, per-pass summaries — mirroring
+   *  rpt_profiling.hpp:122-216). */
   def report(qe: QueryExecution): String = {
     val stats = probeStats(qe)
     if (stats.isEmpty) return "rpt: no transfer filters in this plan"
     val sb = new StringBuilder("rpt probe filters (rows in -> out):\n")
     stats.zipWithIndex.foreach { case (s, i) =>
-      sb.append(f"  #$i%2d [${s.pass}%-8s] ${s.node}%-24s ${s.rowsIn}%,12d -> ${s.rowsOut}%,12d  (${s.selectivity * 100}%6.2f%%)\n")
+      val stage = if (s.stageMs >= 0) f"${s.stageMs}%,6d ms stage" else "      --"
+      sb.append(f"  #$i%2d [${s.pass}%-8s] ${s.node}%-24s ${s.rowsIn}%,12d -> ${s.rowsOut}%,12d  (${s.selectivity * 100}%6.2f%%)  $stage\n")
+    }
+    val builds = buildStats(qe)
+    if (builds.nonEmpty) {
+      sb.append("rpt builds (subquery collect time):\n")
+      builds.zipWithIndex.foreach { case (b, i) =>
+        val t = if (b.collectMs >= 0) f"${b.collectMs}%,6d ms" else "    --"
+        val bytes = if (b.dataBytes >= 0) f"${b.dataBytes}%,d B" else "--"
+        sb.append(f"  #$i%2d ${b.name}%-24s $t  $bytes\n")
+      }
     }
     def geo(ss: Seq[ProbeStat]): Double = math.exp(
       ss.map(s => math.log(math.max(s.selectivity, 1e-12))).sum / ss.size)
@@ -76,7 +137,8 @@ object RptProfiling {
     stats.groupBy(_.pass).toSeq.sortBy(_._1).foreach { case (p, ss) =>
       sb.append(f"  $p pass: ${ss.size} probes, geomean selectivity ${geo(ss) * 100}%.2f%%\n")
     }
-    sb.append(f"  overall: geomean selectivity ${geo(stats) * 100}%.2f%%, rows removed $removed%,d across ${stats.size} probes")
+    val buildMs = builds.map(_.collectMs).filter(_ >= 0).sum
+    sb.append(f"  overall: geomean selectivity ${geo(stats) * 100}%.2f%%, rows removed $removed%,d across ${stats.size} probes, ${builds.size} builds ($buildMs%,d ms build time)")
     sb.toString
   }
 

@@ -102,6 +102,25 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact deduplication — the streaming analog of the batch
+   *  d01/d02 dedup family: keep the FIRST document per content hash,
+   *  emit survivors as they arrive. State is keyed by the 128-bit content
+   *  hash (never the text itself), so the dedup shuffle and store carry
+   *  16-byte keys at any corpus size; `dropDuplicatesWithinWatermark`
+   *  expires state once the watermark passes, bounding the store — the
+   *  dedup window is the watermark horizon (an unbounded-history exact
+   *  dedup of an infinite stream is impossible in finite state; batch d01
+   *  covers the full-corpus pass).
+   *
+   *  Input must carry an event-time column `ts` plus the document
+   *  columns; output is the surviving rows unchanged. */
+  def dedupExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("graft_content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("graft_content_hash")
+      .drop("graft_content_hash")
+
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of
    *  SURVEY.md §7's roadmap). */

@@ -155,6 +155,15 @@ class PredicateTransferSuite extends SparkTestBase {
         s"filter emitted more rows than it read: $stats")
       val rep = RptProfiling.report(df)
       assert(rep.contains("geomean"), rep)
+      // timing surface (reference rpt_profiling.hpp:16-217): per-build
+      // collect time and per-probe stage time must be reported
+      val builds = RptProfiling.buildStats(df.queryExecution)
+      assert(builds.nonEmpty, "no build stats collected")
+      assert(builds.forall(_.collectMs >= 0),
+        s"build collect time missing: $builds")
+      assert(rep.contains("ms build time"), rep)
+      assert(stats.exists(_.stageMs >= 0),
+        s"no probe stage timing attributed: $stats")
     }
   }
 

@@ -57,6 +57,44 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupExact (streaming) keeps first doc per content, matches batch d01") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text", "source")
+    val query = StreamingOps.dedupExact(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: three texts, one duplicated; batch 2: re-sends a dup
+      // within the watermark plus one new text
+      input.addData(
+        (1L, ts(0), "alpha beta gamma", "s1"),
+        (2L, ts(1), "alpha beta gamma", "s1"),
+        (3L, ts(2), "delta epsilon", "s2"))
+      query.processAllAvailable()
+      input.addData(
+        (4L, ts(3), "alpha beta gamma", "s2"),
+        (5L, ts(4), "zeta eta", "s1"))
+      query.processAllAvailable()
+
+      val survivors = spark.table("dedup_sink")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      // first arrival per distinct text survives — same survivor count as
+      // batch d01's distinct-text groups over the same rows
+      assert(survivors.map(_._2).toSeq.sorted ==
+        Seq("alpha beta gamma", "delta epsilon", "zeta eta"))
+      assert(survivors.map(_._1).toSeq == Seq(1L, 3L, 5L),
+        s"wrong survivors: ${survivors.toSeq}")
+      val batchDistinct = Seq(
+        "alpha beta gamma", "alpha beta gamma", "delta epsilon",
+        "alpha beta gamma", "zeta eta")
+        .toDF("text").groupBy("text").count().count()
+      assert(survivors.length == batchDistinct)
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
