@@ -84,8 +84,12 @@ object JoinGraph extends PredicateHelper {
     private val edges = mutable.ArrayBuffer[JoinEdge]()
     /** attribute ExprId -> unit id owning it (post alias resolution). */
     private val attrToUnit = mutable.HashMap[ExprId, Int]()
-    /** alias ExprId -> underlying attribute (through Project/Aggregate). */
-    private val aliasTo = mutable.HashMap[ExprId, Attribute]()
+    /** alias ExprId -> defining expression (through Project/Aggregate).
+     *  Values are full expressions, not just attributes, so COMPUTED join
+     *  keys (casts, arithmetic, date_trunc, bucketing) resolve to their
+     *  owning unit too — beyond the reference's column-ref-only rename
+     *  chain (rpt_optimizer.cpp:101-111). */
+    private val aliasTo = mutable.HashMap[ExprId, Expression]()
 
     def run(plan: LogicalPlan): JoinGraph = {
       visit(plan)
@@ -120,46 +124,40 @@ object JoinGraph extends PredicateHelper {
       id
     }
 
-    /** Strip casts down to the underlying attribute, if any. */
-    private def toAttr(e: Expression): Option[Attribute] = e match {
-      case a: Attribute => Some(a)
-      case c: Cast => toAttr(c.child)
-      case _ => None
-    }
-
-    /** Resolve through alias chains to the owning unit (cycle-guarded,
+    /** Substitute alias references by their defining expressions until
+     *  only unit-owned attributes remain (cycle-guarded via depth cap —
      *  mirroring ResolveColumnBinding, rpt_optimizer.cpp:141-166). */
-    private def unitOf(e: Expression): Option[Int] = {
-      toAttr(e).flatMap { a0 =>
-        var a = a0
-        var hops = 0
-        while (hops < 64 && !attrToUnit.contains(a.exprId) &&
-            aliasTo.contains(a.exprId)) {
-          a = aliasTo(a.exprId)
-          hops += 1
-        }
-        attrToUnit.get(a.exprId)
+    private def expand(e: Expression, depth: Int = 0): Expression =
+      if (depth > 16) e
+      else e.transformUp {
+        case a: Attribute if !attrToUnit.contains(a.exprId) &&
+            aliasTo.contains(a.exprId) =>
+          expand(aliasTo(a.exprId), depth + 1)
       }
+
+    /** The single unit a (possibly computed) key expression evaluates
+     *  over, if all of its base references belong to one unit. */
+    private def unitOf(e: Expression): Option[Int] = {
+      val refs = expand(e).references.toSeq
+      val units = refs.flatMap(a => attrToUnit.get(a.exprId)).distinct
+      if (refs.nonEmpty && units.size == 1 &&
+          refs.forall(a => attrToUnit.contains(a.exprId))) {
+        Some(units.head)
+      } else None
     }
 
-    /** Rewrite `e` so any aliased attrs are replaced by their base attrs —
-     *  the expression must evaluate against the unit's own output. */
-    private def rebase(e: Expression): Expression = e.transformUp {
-      case a: Attribute if !attrToUnit.contains(a.exprId) &&
-          aliasTo.contains(a.exprId) =>
-        var cur = aliasTo(a.exprId)
-        var hops = 0
-        while (hops < 64 && !attrToUnit.contains(cur.exprId) &&
-            aliasTo.contains(cur.exprId)) {
-          cur = aliasTo(cur.exprId); hops += 1
-        }
-        cur
-    }
+    /** Rewrite `e` so aliases are replaced by their definitions — the
+     *  expression must evaluate against the unit's own output. */
+    private def rebase(e: Expression): Expression = expand(e)
 
     private def recordAliases(exprs: Seq[NamedExpression]): Unit =
       exprs.foreach {
-        case al @ Alias(child, _) =>
-          toAttr(child).foreach(base => aliasTo(al.exprId) = base)
+        case al @ Alias(child, _)
+            // aggregate results are not per-row computable over the unit;
+            // nondeterministic definitions must never be re-evaluated
+            if child.deterministic && !child.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]) =>
+          aliasTo(al.exprId) = child
         case _ => ()
       }
 
@@ -195,17 +193,21 @@ object JoinGraph extends PredicateHelper {
         val grouped = mutable.LinkedHashMap[(Int, Int),
           (mutable.ArrayBuffer[(Expression, Expression)], Boolean, Boolean)]()
         splitConjunctivePredicates(cond.get).foreach {
-          case EqualTo(l, r) =>
+          // equi conjunct: each side may be an attribute OR a computed
+          // deterministic expression over one subtree (the reference only
+          // matches col = col, rpt_optimizer.cpp:58-62; expression keys
+          // hash identically on build and probe, so they transfer too)
+          case EqualTo(l, r) if l.deterministic && r.deterministic =>
             for {
-              la <- toAttr(l); ra <- toAttr(r)
               // orient so ._1 comes from the left subtree
-              (le, re, lAttr) <-
-                (if (leftOut.contains(la)) Some((l, r, la))
-                 else if (leftOut.contains(ra)) Some((r, l, ra))
+              (le, re) <-
+                (if (l.references.nonEmpty && l.references.subsetOf(leftOut))
+                  Some((l, r))
+                 else if (r.references.nonEmpty &&
+                     r.references.subsetOf(leftOut)) Some((r, l))
                  else None)
               ul <- unitOf(le); ur <- unitOf(re) if ul != ur
             } {
-              val _ = lAttr
               val key = (ul, ur)
               val entry = grouped.getOrElseUpdate(key,
                 (mutable.ArrayBuffer[(Expression, Expression)](), fLeft, fRight))

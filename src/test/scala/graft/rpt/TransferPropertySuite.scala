@@ -77,22 +77,42 @@ class TransferPropertySuite extends SparkTestBase {
   private val nInstances =
     sys.env.getOrElse("GRAFT_PROP_N", "25").toInt
 
+  // reference-faithful gate settings: the payoff gates (broadcastable
+  // builds, filtered-builds-only, probe floor) would suppress every
+  // transfer on these tiny in-memory instances and make the sweep vacuous
+  private val openGates = Seq(
+    RptConf.MIN_PROBE_ROWS -> "0",
+    RptConf.MIN_BUILD_PROBE_RATIO -> "0",
+    RptConf.FILTERED_BUILDS_ONLY -> "false",
+    RptConf.SKIP_BROADCASTABLE_BUILDS -> "false")
+
   test("rewrite preserves results on random join instances (both heuristics)") {
     val params = Gen.Parameters.default
     val instances = (1 to nInstances).flatMap(i =>
       genInstance(params, Seed(i.toLong)))
     assert(instances.size >= 20, "generator failed to produce instances")
+    var rewritten = 0
     instances.foreach { inst =>
       buildViews(inst)
       val sql = querySql(inst)
       val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
-      val mst = withConf(RptConf.ENABLED -> "true",
-        RptConf.HEURISTIC -> "largestRoot")(fingerprint(spark.sql(sql)))
-      val dag = withConf(RptConf.ENABLED -> "true",
-        RptConf.HEURISTIC -> "joinOrder")(fingerprint(spark.sql(sql)))
+      val mst = withConf(openGates :+ (RptConf.ENABLED -> "true") :+
+        (RptConf.HEURISTIC -> "largestRoot"): _*)(fingerprint(spark.sql(sql)))
+      val dag = withConf(openGates :+ (RptConf.ENABLED -> "true") :+
+        (RptConf.HEURISTIC -> "joinOrder"): _*)(fingerprint(spark.sql(sql)))
       assert(mst == off, s"largestRoot changed results for: $inst\n$sql")
       assert(dag == off, s"joinOrder changed results for: $inst\n$sql")
+      withConf(openGates :+ (RptConf.ENABLED -> "true"): _*) {
+        if (spark.sql(sql).queryExecution.optimizedPlan.toString
+            .contains("might_contain")) {
+          rewritten += 1
+        }
+      }
     }
+    // non-vacuity: the sweep must actually exercise the rewrite
+    assert(rewritten * 2 >= instances.size,
+      s"only $rewritten/${instances.size} instances were rewritten — " +
+        "gates suppressed the sweep")
   }
 
   test("rewrite preserves results with minmax and forwardOnly variants") {
@@ -102,12 +122,15 @@ class TransferPropertySuite extends SparkTestBase {
       buildViews(inst)
       val sql = querySql(inst)
       val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
-      val mm = withConf(RptConf.ENABLED -> "true",
-        RptConf.FILTER_TYPE -> "all")(fingerprint(spark.sql(sql)))
-      val fwd = withConf(RptConf.ENABLED -> "true",
-        RptConf.PASS_MODE -> "forwardOnly")(fingerprint(spark.sql(sql)))
+      val mm = withConf(openGates :+ (RptConf.ENABLED -> "true") :+
+        (RptConf.FILTER_TYPE -> "all"): _*)(fingerprint(spark.sql(sql)))
+      val fwd = withConf(openGates :+ (RptConf.ENABLED -> "true") :+
+        (RptConf.PASS_MODE -> "forwardOnly"): _*)(fingerprint(spark.sql(sql)))
+      val cascade = withConf(openGates :+ (RptConf.ENABLED -> "true") :+
+        (RptConf.BUILD_FORM -> "cascade"): _*)(fingerprint(spark.sql(sql)))
       assert(mm == off, s"filterType=all changed results for: $inst")
       assert(fwd == off, s"forwardOnly changed results for: $inst")
+      assert(cascade == off, s"buildForm=cascade changed results for: $inst")
     }
   }
 }
