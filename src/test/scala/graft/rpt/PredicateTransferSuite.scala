@@ -259,6 +259,23 @@ class PredicateTransferSuite extends SparkTestBase {
       "lineitem scan reads unused columns")
   }
 
+  test("RptExplain renders CREATE_BF/USE_BF operator identities") {
+    // the reference's verify-via-EXPLAIN workflow (README.md:77-78):
+    // operators must be identifiable by name with build/probe linkage
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val rep = RptExplain.explain(spark.sql(queries("chain5")))
+      assert(rep.contains("USE_BF["), rep)
+      assert(rep.contains("CREATE_BF#0"), rep)
+      assert(rep.contains("items="), rep)
+      assert(rep.contains("<- CREATE_BF#"), rep)
+    }
+    withConf(RptConf.ENABLED -> "false") {
+      val rep = RptExplain.explain(spark.sql(queries("chain5")))
+      assert(rep.contains("no transfer operators"), rep)
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
