@@ -150,6 +150,82 @@ object SimilarityQueries {
          |  FROM cand c
          |  JOIN embeddings q ON q.vec_id = c.query_id
          |  JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= 3""".stripMargin),
+
+    // IVF (inverted-file) ANN — the second scale path next to LSH (s04):
+    // a 16-centroid coarse quantizer (deterministic: the first 16 vectors),
+    // each vector assigned to its best cell via a map-side-combinable
+    // struct-max argmax (NO window sort over the n×16 similarity pass —
+    // at 100 TB the assignment is one broadcast-join scan + partial aggs;
+    // ties break to the larger centroid id identically on both engines),
+    // queries probe their nprobe=2 nearest cells, candidates re-ranked
+    // with the exact cosine. Cell population bounds the candidate set the
+    // same way LSH buckets do.
+    dialect("s05_ivf_ann",
+      s"""WITH e AS ($sparkNormalized),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+         |         WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT x.vec_id, c.cid,
+         |         graft_dot(x.v, c.cv) / (x.nrm * c.cnrm) AS sim
+         |  FROM e x CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, max(struct(sim, cid)).cid AS cid
+         |  FROM sims GROUP BY vec_id),
+         |qprobe AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cid) AS rn
+         |    FROM sims WHERE vec_id < 20) t
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN assign a ON a.cid = q.cid
+         |  WHERE a.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY graft_dot(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                                     c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id) t
+         |WHERE rank <= 3""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+         |         WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT x.vec_id, c.cid,
+         |         list_reduce(list_transform(list_zip(x.v, c.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
+         |           / (x.nrm * c.cnrm) AS sim
+         |  FROM e x CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, (max({'sim': sim, 'cid': cid})).cid AS cid
+         |  FROM sims GROUP BY vec_id),
+         |qprobe AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cid) AS rn
+         |    FROM sims WHERE vec_id < 20) t
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN assign a ON a.cid = q.cid
+         |  WHERE a.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY list_reduce(list_transform(list_zip(q.v, n.v), t -> t[1] * t[2]), (acc, y) -> acc + y)
+         |                                       / (q.nrm * n.nrm) DESC,
+         |                                     c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= 3""".stripMargin)
   )
 }
