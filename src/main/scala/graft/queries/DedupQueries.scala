@@ -92,25 +92,32 @@ object DedupQueries {
         |      FROM documents GROUP BY source, md5(text)) s
         |GROUP BY source""".stripMargin),
 
-    // exact n-gram Jaccard via shared-shingle equi-join (no LSH, no
-    // cartesian): candidates share >=1 shingle; emit integer set sizes.
-    // The join key is the 60-bit shingle hash, not the string — at scale
-    // the self-join shuffle moves 8-byte ints instead of full shingles
-    // (collisions: identical on both engines, so results stay comparable).
-    // Hot-shingle cap: a shingle occurring in > HOT_SHINGLE_DF docs (web
+    // exact n-gram Jaccard via per-shingle pair expansion (no LSH, no
+    // cartesian, no shuffle self-join): one GROUP BY shingle hash yields
+    // the capped doc list per shingle; candidate pairs are expanded
+    // MAP-SIDE from each list (bounded by the cap at <= cap^2/2 pairs
+    // per shingle) and counted with one shuffle on (doc_a, doc_b).
+    // Hot-shingle cap: a shingle occurring in > hotShingleDf docs (web
     // boilerplate) contributes k^2 candidate pairs while carrying ~zero
-    // similarity signal — it is dropped from the shingle SET (sizes and
-    // intersections consistently, both dialects, so the oracle matches).
-    // The hot set is tiny, so the exclusion is a broadcast anti-join.
+    // similarity signal — dropped from the shingle SET (sizes and
+    // intersections consistently, both dialects, so the oracle matches)
+    // by the same aggregation's HAVING.
+    // The 60-bit hash keeps the GROUP BY key 8 bytes; collisions are
+    // identical on both engines, so results stay comparable.
     dialect("d03_ngram_jaccard",
       s"""WITH shh0 AS ($sparkShingles),
-         |shh AS (SELECT doc_id, h FROM shh0 WHERE h NOT IN (
-         |  SELECT h FROM shh0 GROUP BY h HAVING count(*) > $hotShingleDf)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |byh AS (
+         |  SELECT h, sort_array(collect_list(doc_id)) AS ds
+         |  FROM shh0 GROUP BY h HAVING count(*) <= $hotShingleDf),
+         |sizes AS (
+         |  SELECT d AS doc_id, count(*) AS sz
+         |  FROM byh LATERAL VIEW explode(ds) x AS d GROUP BY d),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
-         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
+         |  SELECT da AS doc_a, db AS doc_b, count(*) AS inter_cnt
+         |  FROM byh
+         |  LATERAL VIEW explode(ds) x AS da
+         |  LATERAL VIEW explode(ds) y AS db
+         |  WHERE da < db GROUP BY da, db)
          |SELECT doc_a, doc_b, inter_cnt,
          |       sa.sz + sb.sz - inter_cnt AS union_cnt
          |FROM inter
@@ -118,13 +125,16 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter_cnt * 2 >= sa.sz + sb.sz - inter_cnt""".stripMargin,
       s"""WITH shh0 AS ($duckShingles),
-         |shh AS (SELECT doc_id, h FROM shh0 WHERE h NOT IN (
-         |  SELECT h FROM shh0 GROUP BY h HAVING count(*) > $hotShingleDf)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |byh AS (
+         |  SELECT h, list_sort(list(doc_id)) AS ds
+         |  FROM shh0 GROUP BY h HAVING count(*) <= $hotShingleDf),
+         |sizes AS (
+         |  SELECT d AS doc_id, count(*) AS sz
+         |  FROM byh, unnest(ds) AS x(d) GROUP BY d),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
-         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
+         |  SELECT da AS doc_a, db AS doc_b, count(*) AS inter_cnt
+         |  FROM byh, unnest(ds) AS x(da), unnest(ds) AS y(db)
+         |  WHERE da < db GROUP BY da, db)
          |SELECT doc_a, doc_b, inter_cnt,
          |       sa.sz + sb.sz - inter_cnt AS union_cnt
          |FROM inter

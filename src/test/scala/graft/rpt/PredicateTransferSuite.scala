@@ -259,6 +259,41 @@ class PredicateTransferSuite extends SparkTestBase {
       "lineitem scan reads unused columns")
   }
 
+  test("cyclic join graph (diamond): both heuristics stay correct") {
+    // supplier joins BOTH lineitem and nation -> the join graph has a
+    // cycle. largestRoot drops a cycle edge (MST); joinOrder keeps the
+    // multi-parent DAG, which exercises the duplicate-embed (diamond)
+    // guard in the semijoin build views.
+    val sql =
+      """SELECT count(*) AS cnt, min(s_name) AS m
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND s_nationkey = n_nationkey
+        |WHERE n_name LIKE 'NATION_1%'""".stripMargin
+    val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+    for (heuristic <- Seq("largestRoot", "joinOrder");
+         form <- Seq("semijoin", "cascade")) {
+      val on = withConf(RptConf.ENABLED -> "true",
+        RptConf.HEURISTIC -> heuristic, RptConf.BUILD_FORM -> form,
+        RptConf.FILTERED_BUILDS_ONLY -> "false",
+        RptConf.SKIP_BROADCASTABLE_BUILDS -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")(
+        fingerprint(spark.sql(sql)))
+      assert(on == off, s"$heuristic/$form changed results on cyclic graph")
+    }
+    // the rewrite must actually fire on this shape
+    withConf(RptConf.ENABLED -> "true",
+      RptConf.FILTERED_BUILDS_ONLY -> "false",
+      RptConf.SKIP_BROADCASTABLE_BUILDS -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(spark.sql(sql).queryExecution.optimizedPlan.toString
+        .contains("might_contain"), "no probes on cyclic graph")
+    }
+  }
+
   test("RptExplain renders CREATE_BF/USE_BF operator identities") {
     // the reference's verify-via-EXPLAIN workflow (README.md:77-78):
     // operators must be identifiable by name with build/probe linkage
