@@ -34,9 +34,14 @@ object SimilarityQueries {
        | / (sqrt(list_reduce(list_transform($a::DOUBLE[], v -> v * v), (acc, v) -> acc + v))
        |    * sqrt(list_reduce(list_transform($b::DOUBLE[], v -> v * v), (acc, v) -> acc + v)))""".stripMargin
 
-  // Random-hyperplane LSH (8 planes -> 256 buckets), md5-derived
-  // deterministic coefficients; only projection SIGNS are used, so bucket
-  // assignment is robust to accumulation-order noise. Shared by s03/s04.
+  // Random-hyperplane LSH: 8 planes in 2 BANDS of 4 (16 buckets per
+  // band); candidates collide when EITHER band agrees — the standard
+  // band-OR construction (a single 8-plane band demands all 8 sign
+  // agreements and was measured at 5% recall of the exact top-5; two
+  // 4-plane bands lift recall while the band join stays an equi-join).
+  // Coefficients are md5-derived and deterministic; only projection SIGNS
+  // are used, so bucket assignment is robust to accumulation-order noise.
+  // Shared by s03/s04.
   private val sparkLsh =
     """coef AS (
       |  SELECT p, d,
@@ -49,10 +54,10 @@ object SimilarityQueries {
       |  FROM embeddings eb CROSS JOIN coef c
       |  GROUP BY eb.vec_id, c.p),
       |buckets AS (
-      |  SELECT vec_id,
-      |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+      |  SELECT vec_id, p div 4 AS band,
+      |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 4) AS INT))
       |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-      |  FROM proj GROUP BY vec_id)""".stripMargin
+      |  FROM proj GROUP BY vec_id, p div 4)""".stripMargin
 
   private val duckLsh =
     """coef AS (
@@ -65,10 +70,10 @@ object SimilarityQueries {
       |  FROM embeddings eb, coef c
       |  GROUP BY eb.vec_id, c.p),
       |buckets AS (
-      |  SELECT vec_id,
-      |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+      |  SELECT vec_id, p // 4 AS band,
+      |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT))
       |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-      |  FROM proj GROUP BY vec_id)""".stripMargin
+      |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -108,11 +113,11 @@ object SimilarityQueries {
     // LSH bucket histogram — the coarse-quantizer statistics view
     dialect("s03_lsh_buckets",
       s"""WITH $sparkLsh
-         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
-         |FROM buckets GROUP BY 1""".stripMargin,
+         |SELECT CAST(band AS BIGINT) AS band, CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+         |FROM buckets GROUP BY 1, 2""".stripMargin,
       s"""WITH $duckLsh
-         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
-         |FROM buckets GROUP BY 1""".stripMargin),
+         |SELECT CAST(band AS BIGINT) AS band, CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+         |FROM buckets GROUP BY 1, 2""".stripMargin),
 
     // LSH-bucketed approximate nearest neighbors — the scale path: the
     // all-pairs product of s01 is replaced by a candidate equi-join on
@@ -123,9 +128,10 @@ object SimilarityQueries {
       s"""WITH e AS ($sparkNormalized),
          |$sparkLsh,
          |cand AS (
-         |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
          |  FROM buckets bq JOIN buckets bc
-         |    ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+         |    ON bq.band = bc.band AND bq.bucket = bc.bucket
+         |   AND bq.vec_id <> bc.vec_id
          |  WHERE bq.vec_id < 20)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
          |  SELECT c.query_id, c.neighbor_id,
@@ -138,9 +144,10 @@ object SimilarityQueries {
          |WHERE rank <= 3""".stripMargin,
       s"""WITH $duckLsh,
          |cand AS (
-         |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
          |  FROM buckets bq JOIN buckets bc
-         |    ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+         |    ON bq.band = bc.band AND bq.bucket = bc.bucket
+         |   AND bq.vec_id <> bc.vec_id
          |  WHERE bq.vec_id < 20)
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT c.query_id, c.neighbor_id,

@@ -121,6 +121,36 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("graft_content_hash")
       .drop("graft_content_hash")
 
+  /** Stream-stream interval join: pair each left event with right events
+   *  of the same user within `withinSeconds` AFTER it (e.g. click →
+   *  follow-up purchase attribution). Both sides are watermarked, and the
+   *  time-range conjunct bounds each side's join state to the interval +
+   *  watermark horizon — the canonical Spark stream-stream join shape
+   *  (state keyed by user_id, partitioned across executors; nothing
+   *  driver-resident).
+   *
+   *  Input schemas: left/right both [[Event]]-shaped DataFrames. Output:
+   *  one row per qualifying pair with both event ids and timestamps. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      withinSeconds: Long = 600,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("user_id").as("l_user_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("l_user_id").as("user_id"), col("l_event_id"),
+        col("r_event_id"), col("l_ts"), col("r_ts"), col("l_type"),
+        col("r_type"))
+  }
+
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of
    *  SURVEY.md §7's roadmap). */

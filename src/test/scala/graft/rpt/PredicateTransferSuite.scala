@@ -259,6 +259,24 @@ class PredicateTransferSuite extends SparkTestBase {
       "lineitem scan reads unused columns")
   }
 
+  test("differential with AQE disabled (non-adaptive execution path)") {
+    // subquery sharing/reuse must not depend on AQE's subquery map —
+    // the non-adaptive path plans subqueries via PlanSubqueries +
+    // ReuseSubquery instead
+    val sql = queries("chain5")
+    withConf("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      val on = withConf(RptConf.ENABLED -> "true")(fingerprint(spark.sql(sql)))
+      assert(on == off, "rule changed results with AQE off")
+      withConf(RptConf.ENABLED -> "true") {
+        assert(spark.sql(sql).queryExecution.optimizedPlan.toString
+          .contains("might_contain"), "no probes with AQE off")
+        spark.sql(sql).collect() // must execute cleanly
+      }
+    }
+  }
+
   test("cyclic join graph (diamond): both heuristics stay correct") {
     // supplier joins BOTH lineitem and nation -> the join graph has a
     // cycle. largestRoot drops a cycle edge (MST); joinOrder keeps the

@@ -95,6 +95,44 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("intervalJoin (stream-stream) matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = StreamingOps.intervalJoin(
+      clicks.toDF(), buys.toDF(), withinSeconds = 300, watermark = "1 minute")
+      .writeStream.format("memory").queryName("ij_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: click at 0, buys at 2 (within) and 20 (outside 5 min)
+      // user 2: click at 10, buy at 12 (within); user 3: buy only
+      clicks.addData(ev(1, 0, 1, "click", 0), ev(2, 10, 2, "click", 0))
+      buys.addData(ev(50, 2, 1, "buy", 1), ev(51, 20, 1, "buy", 2),
+        ev(52, 12, 2, "buy", 3), ev(53, 15, 3, "buy", 4))
+      query.processAllAvailable()
+      clicks.addData(ev(99, 24 * 60, 9, "zz", 0)) // advance watermarks
+      buys.addData(ev(98, 24 * 60, 9, "zz", 0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("ij_sink")
+        .where("l_type <> 'zz'")
+        .selectExpr("user_id", "l_event_id", "r_event_id")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed == Seq((1L, 1L, 50L), (2L, 2L, 52L)),
+        s"got $streamed")
+      // batch analog over the same rows must agree
+      val allClicks = Seq(ev(1, 0, 1, "click", 0), ev(2, 10, 2, "click", 0))
+      val allBuys = Seq(ev(50, 2, 1, "buy", 1), ev(51, 20, 1, "buy", 2),
+        ev(52, 12, 2, "buy", 3), ev(53, 15, 3, "buy", 4))
+      val batch = StreamingOps.intervalJoin(
+        allClicks.toDF(), allBuys.toDF(), withinSeconds = 300)
+        .selectExpr("user_id", "l_event_id", "r_event_id")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(batch == streamed, s"batch=$batch streamed=$streamed")
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
