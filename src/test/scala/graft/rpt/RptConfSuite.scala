@@ -1,0 +1,60 @@
+package graft.rpt
+
+import graft.SparkTestBase
+
+/** Settings surface: reference snake_case spellings accepted, unknown
+  * values raise instead of silently selecting another mode
+  * (reference settings registry: rpt_extension.cpp:56-69). */
+class RptConfSuite extends SparkTestBase {
+
+  private def sqlConf = spark.sessionState.conf
+
+  test("snake_case reference spellings map to every enum value") {
+    withConf(
+      RptConf.HEURISTIC -> "largest_root",
+      RptConf.PASS_MODE -> "forward_only",
+      RptConf.FILTER_TYPE -> "bf_only",
+      RptConf.BUILD_FORM -> "semijoin") {
+      assert(RptConf.heuristic(sqlConf) == "largestRoot")
+      assert(RptConf.passMode(sqlConf) == "forwardOnly")
+      assert(RptConf.filterType(sqlConf) == "bfOnly")
+      assert(RptConf.buildForm(sqlConf) == "semijoin")
+    }
+    withConf(RptConf.FILTER_TYPE -> "minmax_only",
+      RptConf.BUILD_FORM -> "CASCADE") {
+      assert(RptConf.filterType(sqlConf) == "minmaxOnly")
+      assert(RptConf.buildForm(sqlConf) == "cascade")
+    }
+  }
+
+  test("unknown enum values raise rather than fall through") {
+    for ((key, bad) <- Seq(
+        RptConf.HEURISTIC -> "mst",
+        RptConf.PASS_MODE -> "backwardOnly",
+        RptConf.FILTER_TYPE -> "none",
+        RptConf.BUILD_FORM -> "nested")) {
+      withConf(key -> bad) {
+        val e = intercept[IllegalArgumentException] {
+          RptConf.heuristic(sqlConf)
+          RptConf.passMode(sqlConf)
+          RptConf.filterType(sqlConf)
+          RptConf.buildForm(sqlConf)
+        }
+        assert(e.getMessage.contains(key), e.getMessage)
+      }
+    }
+  }
+
+  test("payoff gates have reference-faithful off switches") {
+    withConf(
+      RptConf.MIN_PROBE_ROWS -> "0",
+      RptConf.MIN_BUILD_PROBE_RATIO -> "0",
+      RptConf.FILTERED_BUILDS_ONLY -> "false",
+      RptConf.SKIP_BROADCASTABLE_BUILDS -> "false") {
+      assert(RptConf.minProbeRows(sqlConf) == 0L)
+      assert(RptConf.minBuildProbeRatio(sqlConf) == 0.0)
+      assert(!RptConf.filteredBuildsOnly(sqlConf))
+      assert(!RptConf.skipBroadcastableBuilds(sqlConf))
+    }
+  }
+}
