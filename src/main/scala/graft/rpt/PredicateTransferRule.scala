@@ -54,6 +54,21 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         alreadyApplied(plan)) {
       return plan
     }
+    // fail-safe: an optimization is never worth failing the user's query.
+    // Any defect surfacing on an exotic plan shape degrades to a warning
+    // and the original plan (failFast=true in tests surfaces it instead).
+    // IllegalArgumentException stays fatal: that is the conf-validation
+    // contract (unknown setting values must raise, not fall through).
+    try rewrite(plan)
+    catch {
+      case e: Exception if !e.isInstanceOf[IllegalArgumentException] &&
+          !RptConf.failFast(conf) =>
+        logWarning(s"[graft-rpt] rewrite failed, leaving plan unchanged: $e")
+        plan
+    }
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = {
     val graph = JoinGraph.extract(plan)
     if (graph.edges.size < RptConf.minEdges(conf)) return plan
     val ops = RptConf.heuristic(conf) match {

@@ -100,6 +100,10 @@ object RptConf {
    *  reference's stacked operators most literally, but nested subqueries
    *  execute sequentially (a chain of k hops pays k job waves). */
   val BUILD_FORM = "spark.graft.rpt.buildForm"
+  /** `false` (default): a failure inside the rewrite logs a warning and
+   *  leaves the plan unchanged — an optimization must never fail the
+   *  user's query. `true` (tests): rethrow so defects surface. */
+  val FAIL_FAST = "spark.graft.rpt.failFast"
   /** Cap on estimated distinct items used to size each bloom filter. */
   val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
   /** Default estimated items when the build side has no row-count stats. */
@@ -141,6 +145,8 @@ object RptConf {
     conf.getConfString(SKIP_BROADCASTABLE_BUILDS, "true").toBoolean
   def buildForm(conf: SQLConf): String =
     normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
+  def failFast(conf: SQLConf): Boolean =
+    conf.getConfString(FAIL_FAST, "false").toBoolean
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def minBuildProbeRatio(conf: SQLConf): Double =
