@@ -343,6 +343,18 @@ object RelationalQueries {
         | AND c.us - a.us <= 60000000
         |GROUP BY a.user_id""".stripMargin),
 
+    // GROUPING SETS beyond q17's ROLLUP: mixed granularities in one pass
+    // (Spark plans one Expand + one aggregation — a single shuffle carries
+    // all grouping sets; grouping_id disambiguates the NULL groups)
+    common("q30_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,
