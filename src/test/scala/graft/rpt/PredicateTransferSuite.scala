@@ -329,6 +329,17 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("rule is idempotent: a second application leaves the plan unchanged") {
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val once = spark.sql(queries("chain5")).queryExecution.optimizedPlan
+      assert(once.toString.contains("might_contain"))
+      val twice = PredicateTransferRule()(once)
+      assert(twice eq once,
+        "second application rewrote an already-transferred plan")
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
