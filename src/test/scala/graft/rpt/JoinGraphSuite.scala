@@ -79,6 +79,51 @@ class JoinGraphSuite extends SparkTestBase {
     assert(g.edges.size >= 2)
   }
 
+  test("computed join keys (alias of an expression) form edges") {
+    // keys defined as projected expressions — CAST(hash(...)) aliases and
+    // inline computed conjunct sides must resolve to their owning unit
+    // (beyond the reference's col=col matching, rpt_optimizer.cpp:58-62)
+    spark.sql("""SELECT id, CAST(hash(id, 1) % 10 AS INT) AS fk
+                 FROM range(100)""").createOrReplaceTempView("jg_fact")
+    spark.sql("""SELECT CAST(hash(id, 2) % 10 AS INT) AS dk, id AS dv
+                 FROM range(20)""").createOrReplaceTempView("jg_dim")
+    val g = graphOf(
+      """SELECT count(*) AS n
+        |FROM jg_fact f
+        |JOIN jg_dim d ON f.fk = d.dk
+        |JOIN jg_dim d2 ON CAST(d.dv % 7 AS INT) = d2.dk
+        |WHERE f.id > 1""".stripMargin)
+    assert(g.edges.size == 2,
+      s"expected both computed-key edges, got ${g.edges.size}")
+    // rebased keys must reference only base (unit-owned) attributes
+    g.edges.foreach { e =>
+      (e.keyPairs.map(_._1) ++ e.keyPairs.map(_._2)).foreach { k =>
+        assert(k.references.nonEmpty && k.deterministic, k.sql)
+      }
+    }
+  }
+
+  test("aggregate-result aliases never become join-key definitions") {
+    // sum(x) AS s joined downstream must NOT be treated as computable
+    // over the unit (an aggregate is not a per-row expression)
+    val g = graphOf(
+      """SELECT n, o_orderstatus
+        |FROM (SELECT o_custkey AS ck, count(*) AS n FROM orders
+        |      GROUP BY o_custkey) a
+        |JOIN orders ON a.n = o_custkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)
+    // the orders<->customer edge must exist; any edge claiming the
+    // aggregate output would carry an AggregateExpression key
+    assert(g.edges.nonEmpty)
+    g.edges.foreach { e =>
+      (e.keyPairs.map(_._1) ++ e.keyPairs.map(_._2)).foreach { k =>
+        assert(!k.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]),
+          s"aggregate leaked into join key: ${k.sql}")
+      }
+    }
+  }
+
   test("non-equi join contributes no edge") {
     val g = graphOf(
       """SELECT count(*) FROM orders
