@@ -355,6 +355,30 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin),
 
+    // PIVOT: Spark's dedicated pivot operator (plans as a single
+    // aggregate over the pivot column with one output column per IN
+    // value — no row explosion); the oracle re-expresses it as
+    // conditional aggregation, which is also its cluster-scale plan
+    dialect("q31_pivot",
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |PIVOT (count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |""".stripMargin,
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |            FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cents,
+        |       count(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |            FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cents,
+        |       count(*) FILTER (o_orderstatus = 'P') AS p_n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |            FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,
