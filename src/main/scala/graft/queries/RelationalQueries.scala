@@ -379,6 +379,21 @@ object RelationalQueries {
         |            FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin),
 
+    // RECURSIVE CTE (Spark >= 4.0): gap-filled monthly series — the
+    // fixed-point union runs on the driver plan side with a bounded
+    // depth (84 iterations over 1-row deltas), then one broadcast join
+    // against the fact; months with zero orders survive via LEFT JOIN
+    common("q32_recursive_series",
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1992-01-01' AS m
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m FROM months
+        |  WHERE m < DATE '1998-12-01')
+        |SELECT m, count(o_orderkey) AS n
+        |FROM months
+        |LEFT JOIN orders ON make_date(year(o_orderdate), month(o_orderdate), 1) = m
+        |GROUP BY m""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,
