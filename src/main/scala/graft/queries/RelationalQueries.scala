@@ -394,6 +394,24 @@ object RelationalQueries {
         |LEFT JOIN orders ON make_date(year(o_orderdate), month(o_orderdate), 1) = m
         |GROUP BY m""".stripMargin),
 
+    // exact percentiles (median + quartiles): Spark's percentile() and
+    // DuckDB's quantile_cont() both use linear interpolation; on the
+    // integer-valued quantities the interpolated midpoints are exact in
+    // binary, so the results hash-match. (approx_percentile/t-digest
+    // sketches are NOT cross-engine comparable — exact percentile is the
+    // oracle-checkable form; its plan is a single sort-based aggregate.)
+    dialect("q33_percentiles",
+      """SELECT l_returnflag,
+        |       percentile(l_quantity, 0.5) AS med_qty,
+        |       percentile(l_quantity, 0.25) AS q1_qty,
+        |       percentile(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |       quantile_cont(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,
