@@ -201,6 +201,56 @@ object DedupQueries {
          |  SELECT doc_id, ${simhashBals(j => s"(h >> $j)")}
          |  FROM th GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashSum AS BIGINT) AS simhash
-         |FROM bits""".stripMargin)
+         |FROM bits""".stripMargin),
+
+    // SimHash near-duplicate pairs via banded Hamming LSH (the Manku/
+    // Google production shape): the 48-bit fingerprint splits into 4
+    // bands of 12 bits; a pair is a candidate iff SOME band matches
+    // exactly (guaranteed recall for hamming <= 3, approximate above) —
+    // an equi-join on (band, 12-bit value) instead of the O(n^2)
+    // all-pairs hamming scan, then an exact bit_count(xor) re-check
+    dialect("d06_simhash_neardup",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
+         |th AS (SELECT doc_id, ${sparkHash60.format("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, ${simhashBals(j => s"shiftright(h, $j)")}
+         |  FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
+         |bands AS (
+         |  SELECT doc_id, b, shiftright(sh, b * 12) & 4095 AS bv
+         |  FROM fp LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(fa.sh ^ fb.sh) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN fp fa ON fa.doc_id = c.doc_a
+         |JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE bit_count(fa.sh ^ fb.sh) <= 8""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${duckHash60.format("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, ${simhashBals(j => s"(h >> $j)")}
+         |  FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
+         |bands AS (
+         |  SELECT doc_id, b, (sh >> (b * 12)) & 4095 AS bv
+         |  FROM fp, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN fp fa ON fa.doc_id = c.doc_a
+         |JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) <= 8""".stripMargin)
   )
 }

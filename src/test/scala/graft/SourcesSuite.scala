@@ -29,6 +29,25 @@ class SourcesSuite extends SparkTestBase {
     assert(fingerprint(orc) == fingerprint(parquet))
   }
 
+  test("jdbc source round-trips through embedded Derby with pushdown") {
+    val dir = Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    nation.write.mode("overwrite").jdbc(url, "nation_jdbc", props)
+    val back = spark.read.jdbc(url, "nation_jdbc", props)
+    assert(fingerprint(back) == fingerprint(nation))
+    // filters must push into the JDBC source, not evaluate in Spark
+    val filtered = spark.read.jdbc(url, "nation_jdbc", props)
+      .where("n_nationkey < 5")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("LessThan(N_NATIONKEY,5)") ||
+      plan.contains("n_nationkey"), s"jdbc pushdown missing:\n$plan")
+    assert(filtered.count() == 5)
+  }
+
   test("partitioned sink enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
