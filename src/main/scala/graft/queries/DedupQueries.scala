@@ -203,12 +203,17 @@ object DedupQueries {
          |SELECT doc_id, CAST($simhashSum AS BIGINT) AS simhash
          |FROM bits""".stripMargin),
 
-    // SimHash near-duplicate pairs via banded Hamming LSH (the Manku/
-    // Google production shape): the 48-bit fingerprint splits into 4
-    // bands of 12 bits; a pair is a candidate iff SOME band matches
-    // exactly (guaranteed recall for hamming <= 3, approximate above) —
-    // an equi-join on (band, 12-bit value) instead of the O(n^2)
-    // all-pairs hamming scan, then an exact bit_count(xor) re-check
+    // SimHash near-duplicate clustering via banded Hamming LSH (the
+    // Manku/Google production shape): the 48-bit fingerprint splits into
+    // 4 bands of 12 bits; docs are band-mates iff SOME band matches
+    // exactly (guaranteed recall for hamming <= 3, approximate above).
+    // Output is ONE ROW PER DOC — its cluster representative = the
+    // smallest doc_id among its hamming<=8 band-mates (single-pass label
+    // propagation, self for isolated docs). The equi-join on (band,
+    // 12-bit value) replaces the O(n^2) all-pairs scan, and the min
+    // aggregate combines map-side — candidate PAIRS are never
+    // materialized (a near-dup cluster of k docs would emit k^2 pairs;
+    // measured 3M pairs on the sf0.1 corpus before this shape).
     dialect("d06_simhash_neardup",
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, tok
@@ -219,18 +224,15 @@ object DedupQueries {
          |  FROM th GROUP BY doc_id),
          |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
          |bands AS (
-         |  SELECT doc_id, b, shiftright(sh, b * 12) & 4095 AS bv
-         |  FROM fp LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST(bit_count(fa.sh ^ fb.sh) AS BIGINT) AS hamming
-         |FROM cand c
-         |JOIN fp fa ON fa.doc_id = c.doc_a
-         |JOIN fp fb ON fb.doc_id = c.doc_b
-         |WHERE bit_count(fa.sh ^ fb.sh) <= 8""".stripMargin,
+         |  SELECT doc_id, sh, b, shiftright(sh, b * 12) & 4095 AS bv
+         |  FROM fp LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b)
+         |SELECT a.doc_id,
+         |       least(a.doc_id, coalesce(min(
+         |         CASE WHEN bit_count(a.sh ^ c.sh) <= 8 THEN c.doc_id END),
+         |         a.doc_id)) AS rep_id
+         |FROM bands a LEFT JOIN bands c
+         |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
+         |GROUP BY a.doc_id""".stripMargin,
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
@@ -240,17 +242,14 @@ object DedupQueries {
          |  FROM th GROUP BY doc_id),
          |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
          |bands AS (
-         |  SELECT doc_id, b, (sh >> (b * 12)) & 4095 AS bv
-         |  FROM fp, unnest([0, 1, 2, 3]) AS u(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST(bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) AS BIGINT) AS hamming
-         |FROM cand c
-         |JOIN fp fa ON fa.doc_id = c.doc_a
-         |JOIN fp fb ON fb.doc_id = c.doc_b
-         |WHERE bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) <= 8""".stripMargin)
+         |  SELECT doc_id, sh, b, (sh >> (b * 12)) & 4095 AS bv
+         |  FROM fp, unnest([0, 1, 2, 3]) AS u(b))
+         |SELECT a.doc_id,
+         |       least(a.doc_id, coalesce(min(
+         |         CASE WHEN bit_count(CAST(xor(a.sh, c.sh) AS BIGINT)) <= 8 THEN c.doc_id END),
+         |         a.doc_id)) AS rep_id
+         |FROM bands a LEFT JOIN bands c
+         |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
+         |GROUP BY a.doc_id""".stripMargin)
   )
 }
