@@ -42,38 +42,67 @@ object SimilarityQueries {
   // Coefficients are md5-derived and deterministic; only projection SIGNS
   // are used, so bucket assignment is robust to accumulation-order noise.
   // Shared by s03/s04.
-  private val sparkLsh =
-    """coef AS (
-      |  SELECT p, d,
-      |         (CAST(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
-      |  FROM (SELECT explode(sequence(0, 7)) AS p) ps
-      |  CROSS JOIN (SELECT explode(sequence(1, 64)) AS d) ds),
-      |proj AS (
-      |  SELECT eb.vec_id, c.p,
-      |         sum(CAST(element_at(eb.embedding, c.d) AS DOUBLE) * c.c) AS dot
-      |  FROM embeddings eb CROSS JOIN coef c
-      |  GROUP BY eb.vec_id, c.p),
-      |buckets AS (
-      |  SELECT vec_id, p div 4 AS band,
-      |         sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 4) AS INT))
-      |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-      |  FROM proj GROUP BY vec_id, p div 4)""".stripMargin
+  //
+  // Single-pass shape (round 4): the 8 coefficient vectors materialize ONCE
+  // in a one-row `planes` relation (512 md5 calls total, broadcast to every
+  // task), and each embedding row computes all 8 projections with the
+  // codegen'd graft_dot in one projection — both band buckets fall out of
+  // the same row. The previous shape expanded embeddings × 512 coefficient
+  // rows and re-aggregated (a 512× row amplification per vector plus a
+  // (vec_id, p) hash-agg); at 100 TB that CROSS JOIN was the scale-killer.
+  // The strict index-order fold of graft_dot / list_reduce also makes the
+  // projection value (not just its sign) identical on both engines, where
+  // the old sum() group-by only pinned the sign.
+  private def sparkPlane(p: Int): String =
+    s"""transform(sequence(1, 64), d ->
+       |           (CAST(conv(substr(md5(concat($p, '_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE)) AS a$p""".stripMargin
 
-  private val duckLsh =
-    """coef AS (
-      |  SELECT p, d,
-      |         (CAST('0x' || substr(md5(p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
-      |  FROM generate_series(0, 7) AS ps(p), generate_series(1, 64) AS ds(d)),
-      |proj AS (
-      |  SELECT eb.vec_id, c.p,
-      |         sum(CAST(eb.embedding[c.d] AS DOUBLE) * c.c) AS dot
-      |  FROM embeddings eb, coef c
-      |  GROUP BY eb.vec_id, c.p),
-      |buckets AS (
-      |  SELECT vec_id, p // 4 AS band,
-      |         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT))
-      |                  ELSE CAST(0 AS BIGINT) END) AS bucket
-      |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+  private def duckPlane(p: Int): String =
+    s"""list_transform(generate_series(1, 64), d ->
+       |           (CAST('0x' || substr(md5($p || '_' || d), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0) AS a$p""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), t -> t[1] * t[2]), (acc, y) -> acc + y)"
+
+  // band bucket = 4 sign bits of planes [4*band, 4*band+3], weights 1/2/4/8
+  private def bandBits(dot: Int => String, band: Int): String =
+    (0 until 4).map { i =>
+      s"CASE WHEN ${dot(4 * band + i)} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val sparkLsh = {
+    def dot(p: Int) = s"graft_dot(eb.v, pl.a$p)"
+    s"""planes AS (
+       |  SELECT ${(0 to 7).map(sparkPlane).mkString(",\n         ")}),
+       |sgn AS (
+       |  SELECT eb.vec_id,
+       |         CAST(${bandBits(dot, 0)} AS BIGINT) AS b0,
+       |         CAST(${bandBits(dot, 1)} AS BIGINT) AS b1
+       |  FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings) eb
+       |  CROSS JOIN planes pl),
+       |buckets AS (
+       |  SELECT vec_id, band, bucket
+       |  FROM sgn
+       |  LATERAL VIEW inline(array(
+       |    struct(CAST(0 AS BIGINT) AS band, b0 AS bucket),
+       |    struct(CAST(1 AS BIGINT) AS band, b1 AS bucket))) t AS band, bucket)""".stripMargin
+  }
+
+  private val duckLsh = {
+    def dot(p: Int) = duckDot("eb.v", s"pl.a$p")
+    s"""planes AS (
+       |  SELECT ${(0 to 7).map(duckPlane).mkString(",\n         ")}),
+       |sgn AS (
+       |  SELECT eb.vec_id,
+       |         CAST(${bandBits(dot, 0)} AS BIGINT) AS b0,
+       |         CAST(${bandBits(dot, 1)} AS BIGINT) AS b1
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) eb
+       |  CROSS JOIN planes pl),
+       |buckets AS (
+       |  SELECT vec_id, CAST(0 AS BIGINT) AS band, b0 AS bucket FROM sgn
+       |  UNION ALL
+       |  SELECT vec_id, CAST(1 AS BIGINT) AS band, b1 AS bucket FROM sgn)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
