@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.SqlBridge
 
 /**
  * Robust Predicate Transfer as a Catalyst rule.
@@ -51,7 +52,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!RptConf.enabled(conf) || !plan.resolved || plan.isStreaming ||
-        alreadyApplied(plan)) {
+        PredicateTransferRule.inNestedExecution || alreadyApplied(plan)) {
       return plan
     }
     // fail-safe: an optimization is never worth failing the user's query.
@@ -111,6 +112,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val withMinmax = filterType != "bfOnly"
     val maxItems = RptConf.maxBfItems(conf)
     val defaultItems = RptConf.defaultBfItems(conf)
+    val literalBnds = RptConf.literalBounds(conf)
 
     val buildForm = RptConf.buildForm(conf)
 
@@ -136,16 +138,17 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     case class Reduced(
         unit: TableUnit,
         semis: Vector[(LogicalPlan, Expression)],
-        members: Set[Int]) {
+        members: Set[Int],
+        basePlan: LogicalPlan) {
       /** Self-contained plan outputting (at least) `needed`'s attributes,
        *  with each leaf scan pruned to the columns its joins require. */
       def materialize(needed: Seq[Expression]): LogicalPlan = {
         val leftNeeded = AttributeSet(needed.flatMap(_.references)) ++
           AttributeSet(semis.flatMap(_._2.references))
-        val kept = unit.plan.output.filter(leftNeeded.contains)
+        val kept = basePlan.output.filter(leftNeeded.contains)
         val base: LogicalPlan =
-          if (kept.isEmpty || kept.size == unit.plan.output.size) unit.plan
-          else Project(kept, unit.plan)
+          if (kept.isEmpty || kept.size == basePlan.output.size) basePlan
+          else Project(kept, basePlan)
         semis.foldLeft(base) { case (acc, (rightPlan, cond)) =>
           // the reducer side is key-projected and gate-bounded: hint it
           // broadcast so the build subquery stays a single scan stage
@@ -157,8 +160,27 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       }
     }
     val reduced = mutable.HashMap[Int, Reduced]() ++
-      graph.units.map(u => u.id -> Reduced(u, Vector.empty, Set(u.id)))
+      graph.units.map(u => u.id -> Reduced(u, Vector.empty, Set(u.id), u.plan))
     lazy val fwdReduced = mutable.HashMap[Int, Reduced]()
+
+    // materialize-once option (reference CREATE_BF materializes its child
+    // once and re-emits rows, physical_create_bf.cpp:201-275,441-557):
+    // register each build unit with the session cache and read BOTH its
+    // main-plan occurrence and its bloom-filter builds from the cached
+    // in-memory relation — one scan instead of two per build side.
+    val unitReplacement = new JIdentityHashMap[LogicalPlan, LogicalPlan]()
+    if (RptConf.cacheBuilds(conf)) {
+      ops.map(_.build).distinct.foreach { id =>
+        val u = graph.units(id)
+        val cachedPlan =
+          PredicateTransferRule.nested(SqlBridge.cachedRelation(u.plan))
+        if (!(cachedPlan eq u.plan)) {
+          unitReplacement.put(u.plan, cachedPlan)
+          cur(id) = cachedPlan
+          reduced(id) = reduced(id).copy(basePlan = cachedPlan)
+        }
+      }
+    }
 
     // One plain single-alias Aggregate subquery per value (bloom filter /
     // min / max). This is exactly the shape Catalyst's MergeScalarSubqueries
@@ -185,6 +207,24 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // ancestor's snapshot) — a superset filter, always correct.
     val subqCache = mutable.HashMap[(Int, String, Boolean, String),
       ScalarSubquery]()
+
+    // planning-time min/max evaluation for literalBounds, deduped per
+    // (build, keys, pass) exactly like the subquery cache
+    val boundsCache =
+      mutable.HashMap[(Int, String, Boolean), org.apache.spark.sql.Row]()
+    def boundsFor(buildId: Int, keys: Seq[Expression], forward: Boolean,
+        buildPlan: => LogicalPlan): org.apache.spark.sql.Row = {
+      val key =
+        (buildId, keys.map(_.canonicalized.toString).mkString(";"), forward)
+      boundsCache.getOrElseUpdate(key, {
+        val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
+          Seq(Alias(Min(k).toAggregateExpression(), s"graft_rpt_mn$i")(),
+            Alias(Max(k).toAggregateExpression(), s"graft_rpt_mx$i")())
+        }
+        PredicateTransferRule.nested(
+          SqlBridge.collectRows(Aggregate(Nil, aggs, buildPlan))).head
+      })
+    }
     def sharedScalarAgg(kind: String, mkExpr: => Expression,
         buildPlan: => LogicalPlan, keys: Seq[Expression], forward: Boolean,
         buildId: Int): ScalarSubquery = {
@@ -267,8 +307,31 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             new XxHash64(op.probeKeys))
         }
         if (withMinmax) {
-          op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
-            if (RowOrdering.isOrderable(bk.dataType)) {
+          val pairs = op.buildKeys.zip(op.probeKeys)
+            .filter { case (bk, _) => RowOrdering.isOrderable(bk.dataType) }
+          if (literalBnds && pairs.nonEmpty) {
+            // two-phase bounds: evaluate min/max NOW and splice literal
+            // range predicates — Spark pushes literals into the parquet
+            // scan, so row-group zone maps skip data before rows
+            // materialize (the reference's dynamic ConstantFilter pushdown
+            // into LOGICAL_GET, rpt_optimizer.cpp:1401-1501)
+            val row = boundsFor(op.build, pairs.map(_._1), op.forward,
+              buildPlan)
+            if (row.isNullAt(0)) {
+              // empty build (or all-null keys, which match nothing in an
+              // equi-join either): the reference's always-false filter on
+              // the probe scan (physical_create_bf.cpp:289-297)
+              conds += Literal.FalseLiteral
+            } else {
+              pairs.zipWithIndex.foreach { case ((bk, pk), i) =>
+                conds += GreaterThanOrEqual(pk,
+                  Literal.create(row.get(2 * i), bk.dataType))
+                conds += LessThanOrEqual(pk,
+                  Literal.create(row.get(2 * i + 1), bk.dataType))
+              }
+            }
+          } else {
+            pairs.foreach { case (bk, pk) =>
               conds += GreaterThanOrEqual(pk,
                 sharedScalarAgg("min", Min(bk).toAggregateExpression(),
                   buildPlan, Seq(bk), op.forward, op.build))
@@ -296,7 +359,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
 
     def splice(p: LogicalPlan): LogicalPlan = {
       val conds = byIdentity.get(p) // look up BEFORE children are rebuilt
-      val rebuilt = p.mapChildren(splice)
+      val replaced = unitReplacement.get(p) // cacheBuilds substitution
+      val rebuilt = if (replaced != null) replaced else p.mapChildren(splice)
       if (conds != null) conds.foldLeft(rebuilt)((acc, c) => Filter(c, acc))
       else rebuilt
     }
@@ -319,22 +383,72 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
   }
 
   /** Bloom-filter sizing from build-side stats (the reference sizes at
-   *  finalize from true cardinality, physical_create_bf.cpp:382-406; we
-   *  size statically — SURVEY.md §4.1 #11). Preference order: rowCount of
-   *  the filtered build plan (CBO), the unit's measured cardinality
-   *  (parquet footers — an upper bound of the filtered build, i.e. a
-   *  conservative, lower-FPR size), then the defaultItems clamp for
-   *  unmeasured proxies. Floor 4096 keeps degenerate builds out of the
-   *  high-FPR regime; cap maxItems bounds filter memory/broadcast cost. */
+   *  finalize from true cardinality, physical_create_bf.cpp:382-406).
+   *  Preference order: rowCount of the filtered build plan (CBO), a
+   *  planning-time count of the statically-filtered unit (runtime sizing —
+   *  attempted only for large, filtered, measured builds where mis-sizing
+   *  costs real broadcast bytes), the unit's measured cardinality (parquet
+   *  footers — an upper bound of the filtered build, i.e. a conservative,
+   *  lower-FPR size), then the defaultItems clamp for unmeasured proxies.
+   *  Floor 4096 keeps degenerate builds out of the high-FPR regime; cap
+   *  maxItems bounds filter memory/broadcast cost. */
   private def estimatedItems(
       buildPlan: LogicalPlan,
       unit: TableUnit,
       maxItems: Long,
       defaultItems: Long): Long = {
     val est = buildPlan.stats.rowCount.map(_.toDouble).getOrElse {
-      if (unit.cardMeasured) unit.card
-      else math.min(unit.card, defaultItems.toDouble)
+      val static =
+        if (unit.cardMeasured) unit.card
+        else math.min(unit.card, defaultItems.toDouble)
+      val counted =
+        if (RptConf.runtimeSizedBuilds(conf) &&
+            static > RptConf.runtimeSizingMinRows(conf) &&
+            selectivelyFiltered(unit.plan)) {
+          RuntimeCounts.count(unit.plan)
+        } else None
+      counted.map(_.toDouble).getOrElse(static)
     }
     math.max(4096L, math.min(est.toLong, maxItems))
   }
+}
+
+object PredicateTransferRule {
+  // Helper executions (runtime counts, literal bounds, cache registration)
+  // run the FULL optimizer on the calling thread; this flag keeps the rule
+  // from re-entering itself through them. Lazily-planned artifacts of those
+  // executions (cached-relation materialization) may also run on other
+  // threads later — they carry no joins worth transferring, so the
+  // minEdges guard covers them.
+  private val nestedExecution = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[rpt] def inNestedExecution: Boolean = nestedExecution.get()
+  private[rpt] def nested[T](body: => T): T = {
+    nestedExecution.set(java.lang.Boolean.TRUE)
+    try body finally nestedExecution.set(java.lang.Boolean.FALSE)
+  }
+}
+
+/** Planning-time row counts of filtered table units, cached per plan shape
+ *  across queries (the same unit recurs query after query; the fixture/ETL
+ *  pattern is a stable set of filtered dims). Count failures degrade to
+ *  None — sizing falls back to the static estimate. */
+private[rpt] object RuntimeCounts {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def count(plan: LogicalPlan): Option[Long] = {
+    val key = plan.canonicalized.toString
+    Option(cache.get(key)).map(_.longValue()).orElse {
+      try {
+        val n = PredicateTransferRule.nested(SqlBridge.countRows(plan))
+        if (cache.size > 512) cache.clear()
+        cache.put(key, n)
+        Some(n)
+      } catch { case _: Exception => None }
+    }
+  }
+
+  private[rpt] def clear(): Unit = cache.clear()
 }

@@ -108,6 +108,39 @@ object RptConf {
   val MAX_BF_ITEMS = "spark.graft.rpt.maxBloomFilterItems"
   /** Default estimated items when the build side has no row-count stats. */
   val DEFAULT_BF_ITEMS = "spark.graft.rpt.defaultBloomFilterItems"
+  /** Size bloom filters from a planning-time `count(*)` of the FILTERED
+   *  build unit instead of the whole-table footer count — the Spark analog
+   *  of the reference's resize-at-finalize from true cardinality
+   *  (physical_create_bf.cpp:382-406; rebuild iff rows*8 > allocated_bits).
+   *  The count is pushdown-friendly (reads only the filter columns), cached
+   *  per plan shape across queries, and only attempted when the static
+   *  estimate exceeds [[RUNTIME_SIZING_MIN_ROWS]] — below that the bytes an
+   *  oversized filter wastes are smaller than a count job costs. */
+  val RUNTIME_SIZED_BUILDS = "spark.graft.rpt.runtimeSizedBuilds"
+  /** Only runtime-count builds whose static estimate exceeds this many
+   *  rows (default 1M ≈ 1.5 MB of bloom filter at 12 bits/key — the point
+   *  where mis-sizing starts to matter for broadcast bytes). */
+  val RUNTIME_SIZING_MIN_ROWS = "spark.graft.rpt.runtimeSizingMinRows"
+  /** Evaluate min/max transfer bounds at PLANNING time and splice them as
+   *  literal range predicates instead of scalar-subquery comparisons.
+   *  Literal predicates reach the Parquet scan as pushed data filters, so
+   *  row-group zone maps skip data before rows materialize — the Spark
+   *  analog of the reference's dynamic ConstantFilter pushdown into
+   *  LOGICAL_GET (rpt_optimizer.cpp:1401-1501). An empty build side
+   *  becomes a literal `false` filter — the reference's always-false
+   *  empty-build case (physical_create_bf.cpp:289-297). Costs one small
+   *  aggregate job per build at planning time; applies when filterType
+   *  includes min/max (`all` | `minmaxOnly`). */
+  val LITERAL_BOUNDS = "spark.graft.rpt.literalBounds"
+  /** Register every transfer build unit with the session cache and read
+   *  both its main-plan occurrence and its bloom-filter builds from the
+   *  cached in-memory relation — the analog of the reference CREATE_BF's
+   *  materialize-once-and-re-emit (physical_create_bf.cpp:201-275,441-557),
+   *  which pays one scan where Spark's subquery build form pays two.
+   *  Off by default: caching spends executor memory and holds entries for
+   *  the session lifetime; turn on for fact-sized build sides that are
+   *  scanned repeatedly. */
+  val CACHE_BUILDS = "spark.graft.rpt.cacheBuilds"
 
   /** Accept both camelCase and the reference's snake_case spellings
    *  (`bf_only` == `bfOnly`); unknown values raise rather than silently
@@ -155,4 +188,12 @@ object RptConf {
     conf.getConfString(MAX_BF_ITEMS, "4000000").toLong
   def defaultBfItems(conf: SQLConf): Long =
     conf.getConfString(DEFAULT_BF_ITEMS, "1000000").toLong
+  def runtimeSizedBuilds(conf: SQLConf): Boolean =
+    conf.getConfString(RUNTIME_SIZED_BUILDS, "true").toBoolean
+  def runtimeSizingMinRows(conf: SQLConf): Long =
+    conf.getConfString(RUNTIME_SIZING_MIN_ROWS, "1048576").toLong
+  def literalBounds(conf: SQLConf): Boolean =
+    conf.getConfString(LITERAL_BOUNDS, "false").toBoolean
+  def cacheBuilds(conf: SQLConf): Boolean =
+    conf.getConfString(CACHE_BUILDS, "false").toBoolean
 }

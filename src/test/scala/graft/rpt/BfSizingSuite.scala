@@ -72,6 +72,34 @@ class BfSizingSuite extends SparkTestBase {
     }
   }
 
+  test("runtime sizing: filtered builds are sized from the FILTERED count") {
+    // the reference resizes at finalize from true (filtered) cardinality;
+    // with runtime sizing on, a statically-filtered measured build must be
+    // sized by its planning-time count, not the whole-table footer count
+    val sql =
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_quantity > 5""".stripMargin
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 5").head.getLong(0)
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(filtered > 4096 && filtered < total,
+      s"fixture assumption broken: filtered=$filtered total=$total")
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.RUNTIME_SIZING_MIN_ROWS -> "0") {
+      val aggs = bfAggs(sql)
+      assert(aggs.nonEmpty, "no bloom filter aggregates injected")
+      val ests = aggs.map(estItems)
+      assert(ests.contains(filtered),
+        s"no BF sized at the filtered build count $filtered (got $ests)")
+      assert(!ests.contains(total),
+        s"a BF still sized at the unfiltered footer count $total ($ests)")
+    }
+  }
+
   test("unmeasured builds fall back to the defaultItems clamp, not 1M+") {
     // a non-parquet (in-memory) build side has neither stats rowCount nor
     // footers: the default clamp must bound the estimate
