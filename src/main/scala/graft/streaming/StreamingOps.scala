@@ -14,6 +14,10 @@ case class Event(
     event_type: String,
     value: Double)
 
+/** Document row as carried by an ingest stream (subset of the
+ *  `documents` fixture schema the simhash operators need). */
+case class SimDoc(doc_id: Long, text: String)
+
 /** One closed session emitted by [[StreamingOps.sessionize]]. */
 case class Session(
     user_id: Long,
@@ -149,6 +153,67 @@ object StreamingOps {
       .select(col("l_user_id").as("user_id"), col("l_event_id"),
         col("r_event_id"), col("l_ts"), col("r_ts"), col("l_type"),
         col("r_type"))
+  }
+
+  /** Stateless streaming SimHash — the per-row form of the batch d05
+   *  fingerprint, bit-identical on the same rows. The batch shape
+   *  aggregates (doc, token) rows across a shuffle; a stream computes the
+   *  whole fingerprint inside ONE row (a document carries all its tokens),
+   *  so the operator is a pure map: no state, no watermark, no shuffle —
+   *  it runs at ingest rate at any scale. Bit parity with d05: distinct
+   *  tokens, 60-bit md5-prefix hash (`graft_hash60`), 48 per-bit ±1
+   *  balances, sign bits folded to a 48-bit fingerprint. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("graft_hs",
+        expr("transform(array_distinct(split(text, ' ')), t -> graft_hash60(t))"))
+      .withColumn("graft_bals", expr(
+        """aggregate(graft_hs, array_repeat(0, 48),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 47),
+          |      j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 47), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + CASE WHEN element_at(graft_bals, j + 1) > 0
+          |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin))
+      .drop("graft_hs", "graft_bals")
+
+  /** Banded Hamming-LSH assignment over the streaming fingerprint — the
+   *  d06 band derivation (4 bands × 12 bits) as a stateless explode:
+   *  4 rows per document, keyed (band, band_value). */
+  def simhashBands(docs: DataFrame): DataFrame =
+    simhash(docs)
+      .select(col("doc_id"), col("simhash"), expr(
+        """explode(transform(sequence(0, 3),
+          |  b -> struct(b AS band,
+          |              shiftright(simhash, b * 12) & 4095 AS band_value)))"""
+          .stripMargin).as("bd"))
+      .select(col("doc_id"), col("simhash"),
+        col("bd.band"), col("bd.band_value"))
+
+  /** Near-duplicate probe of an incoming document stream against a known
+   *  corpus — the ingest-time analog of batch d06: the stream's band rows
+   *  equi-join the corpus band table (stream-static join, stateless; the
+   *  corpus side partitions/broadcasts by Spark's normal join planning)
+   *  and band-mates are exact-checked with `bit_count(xor)`. Emits one
+   *  row per (probe, corpus match) per agreeing band; distinct-ness and
+   *  representative election stay downstream, keeping this operator
+   *  state-free. `corpusBands` must carry (doc_id, simhash, band,
+   *  band_value) — the [[simhashBands]] shape. */
+  def neardupProbe(
+      stream: DataFrame,
+      corpusBands: DataFrame,
+      maxHamming: Int = 8): DataFrame = {
+    val probe = simhashBands(stream).select(
+      col("doc_id").as("probe_id"), col("simhash").as("probe_simhash"),
+      col("band"), col("band_value"))
+    probe.join(corpusBands, Seq("band", "band_value"))
+      .where(expr(s"bit_count(probe_simhash ^ simhash) <= $maxHamming") &&
+        col("probe_id") =!= col("doc_id"))
+      .select(col("probe_id"), col("doc_id").as("match_id"),
+        expr("CAST(bit_count(probe_simhash ^ simhash) AS INT)").as("hamming"))
   }
 
   /** File-source entry point: tail a directory of event parquet as a

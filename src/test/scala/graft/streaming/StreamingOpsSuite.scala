@@ -133,6 +133,74 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming simhash matches batch d05 fingerprints on fixture rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME physical rows through both paths: 60 fixture documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(60)
+    val batchD05 = graft.queries.DedupQueries.defs
+      .find(_.name == "d05_simhash").get.fn(spark, sfDir)
+      .where($"doc_id".isin(docs.map(_.doc_id): _*))
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    val input = MemoryStream[SimDoc]
+    val query = StreamingOps.simhash(input.toDF())
+      .select("doc_id", "simhash")
+      .writeStream.format("memory").queryName("simhash_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(30): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(30): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("simhash_sink")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == batchD05,
+        s"streaming simhash diverges from batch d05 " +
+          s"(first mismatch: ${streamed.zip(batchD05).find(p => p._1 != p._2)})")
+    } finally query.stop()
+  }
+
+  test("streaming band assignment + neardup probe match batch d06 semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      SimDoc(1, "the quick brown fox jumps over the lazy dog"),
+      SimDoc(2, "an entirely different document about spark and scala"),
+      SimDoc(3, "streams of tokens flow into fingerprints"))
+    val corpusBands = StreamingOps.simhashBands(corpus.toDF())
+    // band derivation parity: 4 bands of 12 bits, recomputed from the
+    // fingerprint exactly as batch d06 derives them
+    val bands = corpusBands.as[(Long, Long, Int, Long)].collect()
+    assert(bands.length == corpus.size * 4)
+    bands.foreach { case (_, sh, b, bv) =>
+      assert(bv == ((sh >> (b * 12)) & 4095L), s"band $b of $sh wrong: $bv")
+    }
+
+    // probe: an exact duplicate (hamming 0 → must match in every band)
+    // and an unrelated text (no band-mate with hamming <= 8 expected)
+    val input = MemoryStream[SimDoc]
+    val probes = StreamingOps.neardupProbe(input.toDF(), corpusBands)
+    val query = probes.writeStream.format("memory").queryName("probe_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        SimDoc(100, "the quick brown fox jumps over the lazy dog"),
+        SimDoc(101, "completely unrelated payload zz yy xx ww vv uu tt"))
+      query.processAllAvailable()
+      val matches = spark.table("probe_sink")
+        .select("probe_id", "match_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq
+      val dup = matches.filter(_._1 == 100L).distinct
+      assert(dup.contains((100L, 1L, 0)),
+        s"exact duplicate not matched to doc 1: $matches")
+      // the exact duplicate agrees in all 4 bands -> 4 pair rows pre-distinct
+      assert(matches.count(m => m._1 == 100L && m._2 == 1L) == 4)
+      assert(!matches.exists(m => m._1 == 101L && m._3 > 8))
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
