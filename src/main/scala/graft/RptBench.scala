@@ -57,15 +57,29 @@ object RptBench {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice < 5000""".stripMargin)
 
+  /** The declared workload's multi-join class (the JOB-shape queries of
+   *  the oracle suite, reference README.md:81-109) — the rule's payoff
+   *  must hold on the real queries, not only the synthetic shapes. */
+  private val workloadQueries =
+    Seq("q04_chain5_rpt", "q05_star_join", "q06_job_global_min",
+      "q27_wide_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = GraftSession.build(appName = "graft-rpt-bench")
     GraftSession.loadTables(spark, sfDir)
 
-    def time(sql: String): Double = {
+    val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      (queries.toSeq.map { case (n, sql) => n -> (() => spark.sql(sql)) } ++
+        workloadQueries.map { n =>
+          val d = graft.queries.RelationalQueries.defs.find(_.name == n).get
+          n -> (() => d.fn(spark, sfDir))
+        }).sortBy(_._1)
+
+    def time(mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      spark.sql(sql).count()
+      mk().count()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -75,14 +89,14 @@ object RptBench {
     val regimeJsons = Seq("broadcast" -> "10485760", "shuffle" -> "-1").map {
       case (regime, bcThreshold) =>
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
-        val rows = queries.toSeq.sortBy(_._1).map { case (name, sql) =>
+        val rows = entries.map { case (name, mk) =>
           spark.conf.set("spark.graft.rpt.enabled", "false")
-          time(sql) // warmup, untimed
+          time(mk) // warmup, untimed
           val (offs, ons) = (1 to runs).map { _ =>
             spark.conf.set("spark.graft.rpt.enabled", "false")
-            val off = time(sql)
+            val off = time(mk)
             spark.conf.set("spark.graft.rpt.enabled", "true")
-            val on = time(sql)
+            val on = time(mk)
             (off, on)
           }.unzip
           (name, offs.min, ons.min, offs.min / ons.min)

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/**
+ * Scale a fixture directory N× for BENCHMARKING (correctness stays on the
+ * driver-generated fixtures): each scaled table is the union of N key-
+ * shifted copies, so every foreign-key relationship of the source holds in
+ * every copy and join/dedup workloads keep their shape. Fixed-size
+ * dimension tables (region, nation — constant in TPC-H at every SF) are
+ * copied unchanged. Text/embedding payloads are copied verbatim: copies
+ * are exact near-duplicates, the (realistic, harder) crawl-corpus regime
+ * for the dedup operators.
+ *
+ * Usage: runMain graft.tools.ScaleFixtures <srcDir> <dstDir> <factor>
+ */
+object ScaleFixtures {
+
+  // far above any fixture key range (sf1 orderkeys stay < 10^7)
+  private val STEP = 100000000L
+
+  private def scaled(df: DataFrame, factor: Int, keys: Seq[String]): DataFrame = {
+    val copies = explode(sequence(lit(0L), lit(factor - 1L))).as("graft_copy")
+    val withCopy = df.select(col("*"), copies)
+    keys.foldLeft(withCopy) { (acc, k) =>
+      acc.withColumn(k, col(k) + col("graft_copy") * STEP)
+    }.drop("graft_copy")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "args: <srcDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    val spark = GraftSession.build(appName = "graft-scale-fixtures")
+
+    val shiftKeys: Map[String, Seq[String]] = Map(
+      "region" -> Nil,
+      "nation" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    shiftKeys.foreach { case (table, keys) =>
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val out =
+        if (keys.isEmpty) df else scaled(df, factor, keys)
+      // one file per ~128MB keeps the scan parallelism of the source dir
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"scaled $table x${if (keys.isEmpty) 1 else factor}")
+    }
+    spark.stop()
+  }
+}
