@@ -250,6 +250,27 @@ object DedupQueries {
          |         a.doc_id)) AS rep_id
          |FROM bands a LEFT JOIN bands c
          |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
-         |GROUP BY a.doc_id""".stripMargin)
+         |GROUP BY a.doc_id""".stripMargin),
+
+    // benchmark decontamination: which training docs share an n-gram with
+    // the held-out evaluation set (here: every 41st doc stands in for the
+    // benchmark suite)? The production shape for train/test-overlap checks:
+    // the benchmark side reduces to a DISTINCT set of 8-byte shingle
+    // hashes — tiny next to the corpus, so at 100 TB it broadcasts and the
+    // whole check is one map-side hash-join pass over the training
+    // shingles plus one count-by-doc shuffle. Never an all-pairs compare.
+    dialect("d07_decontamination",
+      s"""WITH sh AS ($sparkShingles),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 41 = 0)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN bench b ON s.h = b.h
+         |WHERE s.doc_id % 41 <> 0
+         |GROUP BY s.doc_id""".stripMargin,
+      s"""WITH sh AS ($duckShingles),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 41 = 0)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN bench b ON s.h = b.h
+         |WHERE s.doc_id % 41 <> 0
+         |GROUP BY s.doc_id""".stripMargin)
   )
 }

@@ -107,6 +107,39 @@ object TextQueries {
       """SELECT doc_id,
         |       md5(text) AS exact_fp,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // deterministic stratified sampling / data mixing: per-source keep
+    // rates applied by hashing the doc id into a percentile bucket — the
+    // training-mix primitive. No rand(): the sample is reproducible across
+    // runs, engines, and (crucially at 100 TB) across retried tasks; the
+    // predicate is a pure map-side filter, so the only shuffle is the
+    // final per-source rollup. Rates: every 4th source is "high quality"
+    // (80%), offset-1 sources mid (50%), the rest tail (20%).
+    dialect("t05_hash_sample",
+      """SELECT source,
+        |       count(*) AS n_total,
+        |       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       min(CASE WHEN bucket < rate_pct THEN doc_id END) AS first_kept
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 80
+        |              WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 50
+        |              ELSE 20 END AS rate_pct,
+        |         graft_hash60(concat('smp:', CAST(doc_id AS STRING))) % 100 AS bucket
+        |  FROM documents) r
+        |GROUP BY source""".stripMargin,
+      """SELECT source,
+        |       count(*) AS n_total,
+        |       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       min(CASE WHEN bucket < rate_pct THEN doc_id END) AS first_kept
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 80
+        |              WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 50
+        |              ELSE 20 END AS rate_pct,
+        |         CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents) r
+        |GROUP BY source""".stripMargin)
   )
 }

@@ -170,14 +170,24 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // in-memory relation — one scan instead of two per build side.
     val unitReplacement = new JIdentityHashMap[LogicalPlan, LogicalPlan]()
     if (RptConf.cacheBuilds(conf)) {
+      // a barrier-shaped unit (Aggregate/Window/Union leaf of the transfer
+      // graph) can have OTHER units nested inside its subtree; substituting
+      // the cached relation for it would silently drop any transfer filters
+      // spliced onto those nested units. Cache only self-contained units.
+      val unitPlans = new JIdentityHashMap[LogicalPlan, java.lang.Boolean]()
+      graph.units.foreach(u => unitPlans.put(u.plan, java.lang.Boolean.TRUE))
       ops.map(_.build).distinct.foreach { id =>
         val u = graph.units(id)
-        val cachedPlan =
-          PredicateTransferRule.nested(SqlBridge.cachedRelation(u.plan))
-        if (!(cachedPlan eq u.plan)) {
-          unitReplacement.put(u.plan, cachedPlan)
-          cur(id) = cachedPlan
-          reduced(id) = reduced(id).copy(basePlan = cachedPlan)
+        val containsNestedUnit =
+          u.plan.exists(n => (n ne u.plan) && unitPlans.containsKey(n))
+        if (!containsNestedUnit) {
+          val cachedPlan =
+            PredicateTransferRule.nested(SqlBridge.cachedRelation(u.plan))
+          if (!(cachedPlan eq u.plan)) {
+            unitReplacement.put(u.plan, cachedPlan)
+            cur(id) = cachedPlan
+            reduced(id) = reduced(id).copy(basePlan = cachedPlan)
+          }
         }
       }
     }
@@ -420,31 +430,40 @@ object PredicateTransferRule {
   // executions (cached-relation materialization) may also run on other
   // threads later — they carry no joins worth transferring, so the
   // minEdges guard covers them.
-  private val nestedExecution = new ThreadLocal[java.lang.Boolean] {
-    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  // depth counter, not a boolean: helpers may compose (a cached-relation
+  // registration planning a count, say) and an inner nested call must not
+  // clear the guard for the still-running outer one
+  private val nestedDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
   }
-  private[rpt] def inNestedExecution: Boolean = nestedExecution.get()
+  private[rpt] def inNestedExecution: Boolean = nestedDepth.get() > 0
   private[rpt] def nested[T](body: => T): T = {
-    nestedExecution.set(java.lang.Boolean.TRUE)
-    try body finally nestedExecution.set(java.lang.Boolean.FALSE)
+    nestedDepth.set(nestedDepth.get() + 1)
+    try body finally nestedDepth.set(nestedDepth.get() - 1)
   }
 }
 
 /** Planning-time row counts of filtered table units, cached per plan shape
  *  across queries (the same unit recurs query after query; the fixture/ETL
- *  pattern is a stable set of filtered dims). Count failures degrade to
- *  None — sizing falls back to the static estimate. */
+ *  pattern is a stable set of filtered dims). Entries expire after a TTL so
+ *  data changing under a live session cannot mis-size filters indefinitely
+ *  (stale counts are FPR-only — results stay correct either way). Count
+ *  failures degrade to None — sizing falls back to the static estimate. */
 private[rpt] object RuntimeCounts {
+  private val TTL_NANOS = 10L * 60 * 1000 * 1000 * 1000 // 10 minutes
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   def count(plan: LogicalPlan): Option[Long] = {
     val key = plan.canonicalized.toString
-    Option(cache.get(key)).map(_.longValue()).orElse {
+    val now = System.nanoTime()
+    Option(cache.get(key)).collect {
+      case (n, at) if now - at < TTL_NANOS => n
+    }.orElse {
       try {
         val n = PredicateTransferRule.nested(SqlBridge.countRows(plan))
         if (cache.size > 512) cache.clear()
-        cache.put(key, n)
+        cache.put(key, (n, now))
         Some(n)
       } catch { case _: Exception => None }
     }

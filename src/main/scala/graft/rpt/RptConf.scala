@@ -113,9 +113,13 @@ object RptConf {
    *  of the reference's resize-at-finalize from true cardinality
    *  (physical_create_bf.cpp:382-406; rebuild iff rows*8 > allocated_bits).
    *  The count is pushdown-friendly (reads only the filter columns), cached
-   *  per plan shape across queries, and only attempted when the static
-   *  estimate exceeds [[RUNTIME_SIZING_MIN_ROWS]] — below that the bytes an
-   *  oversized filter wastes are smaller than a count job costs. */
+   *  per plan shape across queries (10-minute TTL), and only attempted when
+   *  the static estimate exceeds [[RUNTIME_SIZING_MIN_ROWS]] — below that
+   *  the bytes an oversized filter wastes are smaller than a count job
+   *  costs. Off by default like the other two-phase flags: it runs a count
+   *  job inside optimization, and within the TTL a build whose data changed
+   *  can be sized from a stale count (FPR-only effect — results stay
+   *  correct). Enable for stable fixture/ETL sessions. */
   val RUNTIME_SIZED_BUILDS = "spark.graft.rpt.runtimeSizedBuilds"
   /** Only runtime-count builds whose static estimate exceeds this many
    *  rows (default 1M ≈ 1.5 MB of bloom filter at 12 bits/key — the point
@@ -130,7 +134,15 @@ object RptConf {
    *  becomes a literal `false` filter — the reference's always-false
    *  empty-build case (physical_create_bf.cpp:289-297). Costs one small
    *  aggregate job per build at planning time; applies when filterType
-   *  includes min/max (`all` | `minmaxOnly`). */
+   *  includes min/max (`all` | `minmaxOnly`).
+   *
+   *  CAVEAT — build data must be static for the plan's lifetime: the
+   *  bounds (and the literal-false empty-build collapse) are frozen into
+   *  the optimized plan at planning time. A cached/reused plan evaluated
+   *  after build-side data changed can incorrectly drop probe rows, unlike
+   *  the subquery form, which re-reads the build on every execution. Plans
+   *  optimized fresh per query (the normal `df.collect()`/SQL path) are
+   *  unaffected. */
   val LITERAL_BOUNDS = "spark.graft.rpt.literalBounds"
   /** Register every transfer build unit with the session cache and read
    *  both its main-plan occurrence and its bloom-filter builds from the
@@ -189,7 +201,7 @@ object RptConf {
   def defaultBfItems(conf: SQLConf): Long =
     conf.getConfString(DEFAULT_BF_ITEMS, "1000000").toLong
   def runtimeSizedBuilds(conf: SQLConf): Boolean =
-    conf.getConfString(RUNTIME_SIZED_BUILDS, "true").toBoolean
+    conf.getConfString(RUNTIME_SIZED_BUILDS, "false").toBoolean
   def runtimeSizingMinRows(conf: SQLConf): Long =
     conf.getConfString(RUNTIME_SIZING_MIN_ROWS, "1048576").toLong
   def literalBounds(conf: SQLConf): Boolean =

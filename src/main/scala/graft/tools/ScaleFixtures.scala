@@ -26,7 +26,13 @@ object ScaleFixtures {
     val copies = explode(sequence(lit(0L), lit(factor - 1L))).as("graft_copy")
     val withCopy = df.select(col("*"), copies)
     keys.foldLeft(withCopy) { (acc, k) =>
-      acc.withColumn(k, col(k) + col("graft_copy") * STEP)
+      // cast back so scaled fixtures keep the source schema exactly
+      // (addition with the long copy index would widen INT keys to BIGINT)
+      val dt = df.schema(k).dataType
+      require(dt != org.apache.spark.sql.types.IntegerType ||
+        factor.toLong * STEP < Int.MaxValue,
+        s"factor $factor overflows INT key $k (step $STEP)")
+      acc.withColumn(k, (col(k) + col("graft_copy") * STEP).cast(dt))
     }.drop("graft_copy")
   }
 
@@ -52,8 +58,16 @@ object ScaleFixtures {
       val df = spark.read.parquet(s"$src/$table.parquet")
       val out =
         if (keys.isEmpty) df else scaled(df, factor, keys)
-      // one file per ~128MB keeps the scan parallelism of the source dir
-      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      // one file per ~128MB keeps the scan parallelism of the source dir:
+      // rows-per-128MB derived from the source table's on-disk density
+      val srcBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val srcRows = math.max(1L, df.count())
+      val recordsPerFile = math.max(1L,
+        (BigDecimal(srcRows) * 128L * 1024 * 1024 /
+          BigDecimal(srcBytes.max(BigInt(1)))).toLong)
+      out.write.mode("overwrite")
+        .option("maxRecordsPerFile", recordsPerFile)
+        .parquet(s"$dst/$table.parquet")
       println(s"scaled $table x${if (keys.isEmpty) 1 else factor}")
     }
     spark.stop()

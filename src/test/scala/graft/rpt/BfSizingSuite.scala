@@ -89,6 +89,7 @@ class BfSizingSuite extends SparkTestBase {
       s"fixture assumption broken: filtered=$filtered total=$total")
     withConf(RptConf.ENABLED -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.RUNTIME_SIZED_BUILDS -> "true",
       RptConf.RUNTIME_SIZING_MIN_ROWS -> "0") {
       val aggs = bfAggs(sql)
       assert(aggs.nonEmpty, "no bloom filter aggregates injected")

@@ -76,6 +76,49 @@ class CacheBuildsSuite extends SparkTestBase {
     }
   }
 
+  test("cacheBuilds keeps transfer filters on units nested inside a barrier build") {
+    // a Union is a barrier unit of the transfer graph, but the joins INSIDE
+    // it still produce nested units that receive transfer filters. If the
+    // union unit is cached (it is a build side of the outer edge),
+    // substituting the cached relation must not drop the filters spliced
+    // onto the nested units — self-containing units are excluded from
+    // caching instead.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val nestedSql =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN (SELECT l_orderkey AS k
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE o_totalprice < 100000
+        |      UNION ALL
+        |      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'X') u
+        |ON lineitem.l_orderkey = u.k""".stripMargin
+    def bfFilters(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter
+            if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }.size
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val base = bfFilters(spark.sql(nestedSql))
+      assert(base >= 2,
+        s"expected transfers outside AND inside the union, got $base")
+      withConf(RptConf.CACHE_BUILDS -> "true") {
+        try {
+          val cached = bfFilters(spark.sql(nestedSql))
+          assert(cached === base,
+            s"cacheBuilds dropped nested transfer filters: $cached vs $base")
+          val n = spark.sql(nestedSql).collect().head.getLong(0)
+          val off = withConf(RptConf.ENABLED -> "false")(
+            spark.sql(nestedSql).collect().head.getLong(0))
+          assert(n === off, s"cacheBuilds changed the result: $n vs $off")
+        } finally {
+          spark.catalog.clearCache()
+        }
+      }
+    }
+  }
+
   test("without cacheBuilds the build side pays a second scan (baseline)") {
     withConf(RptConf.ENABLED -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {

@@ -59,18 +59,19 @@ class RptConfSuite extends SparkTestBase {
   }
 
   test("two-phase feature switches: defaults and overrides") {
-    // defaults: runtime sizing on above its threshold; the planning-time
-    // job features (literal bounds, cached builds) opt-in
-    assert(RptConf.runtimeSizedBuilds(sqlConf))
+    // defaults: ALL planning-time job features (runtime sizing, literal
+    // bounds, cached builds) are opt-in — each runs extra work inside
+    // optimization and assumes build data static for the session/plan
+    assert(!RptConf.runtimeSizedBuilds(sqlConf))
     assert(RptConf.runtimeSizingMinRows(sqlConf) == 1048576L)
     assert(!RptConf.literalBounds(sqlConf))
     assert(!RptConf.cacheBuilds(sqlConf))
     withConf(
-      RptConf.RUNTIME_SIZED_BUILDS -> "false",
+      RptConf.RUNTIME_SIZED_BUILDS -> "true",
       RptConf.RUNTIME_SIZING_MIN_ROWS -> "0",
       RptConf.LITERAL_BOUNDS -> "true",
       RptConf.CACHE_BUILDS -> "true") {
-      assert(!RptConf.runtimeSizedBuilds(sqlConf))
+      assert(RptConf.runtimeSizedBuilds(sqlConf))
       assert(RptConf.runtimeSizingMinRows(sqlConf) == 0L)
       assert(RptConf.literalBounds(sqlConf))
       assert(RptConf.cacheBuilds(sqlConf))
