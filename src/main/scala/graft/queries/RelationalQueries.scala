@@ -412,6 +412,19 @@ object RelationalQueries {
         |       quantile_cont(l_quantity, 0.75) AS q3_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // "top-k per group via lateral" plan shape (distinct from q21's
+    // global top-k and q13's window rank). Spark decorrelates the lateral
+    // into a ranked join; DuckDB executes it natively. Tie-break on
+    // o_orderkey keeps the row set deterministic on both engines.
+    common("q34_lateral_topk",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 20""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -215,6 +215,45 @@ object StreamingOps {
       .select(col("probe_id"), col("doc_id").as("match_id"),
         expr("CAST(bit_count(probe_simhash ^ simhash) AS INT)").as("hamming"))
   }
+
+  /** Stateless per-row 3-token shingle hashes — the streaming form of the
+   *  batch shingle CTE (DedupQueries d03/d07): a document carries all its
+   *  tokens, so its DISTINCT shingle-hash set is computed inside the row
+   *  (pure map, no state, no shuffle). Emits one (doc_id, h) row per
+   *  distinct shingle, bit-identical to the batch `sparkShingles` rows on
+   *  the same documents. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("graft_w", split(col("text"), " "))
+      .where(size(col("graft_w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(graft_w) - 2),
+          |  i -> graft_hash60(concat_ws(' ', slice(graft_w, i, 3)))))"""
+          .stripMargin)).as("h"))
+
+  /** Ingest-time benchmark decontamination — the streaming analog of batch
+   *  d07: the stream's per-document shingle hashes equi-join a STATIC
+   *  distinct benchmark-hash set (stream-static join, stateless; the bench
+   *  side is tiny next to the corpus, so Spark broadcasts it). Emits one
+   *  row per (doc, matching hash); counting/thresholding stays downstream,
+   *  keeping the operator state-free like [[neardupProbe]]. `benchHashes`
+   *  must carry the 60-bit hash column `h` — e.g.
+   *  `shingleHashes(benchDocs).select("h").distinct()`. */
+  def decontaminationProbe(
+      stream: DataFrame, benchHashes: DataFrame): DataFrame =
+    shingleHashes(stream).join(benchHashes, "h")
+      .select(col("doc_id"), col("h").as("bench_h"))
+
+  /** Deterministic hash sampling — the streaming form of batch t05: keep a
+   *  row iff its doc_id hashes under `ratePct` (0–100; any per-row
+   *  expression, e.g. a per-source rate). No rand(): the decision is a
+   *  pure function of doc_id, so retried tasks, replayed micro-batches,
+   *  and batch/stream runs of the same pipeline keep exactly the same
+   *  rows. A stateless map — runs at ingest rate at any scale. */
+  def hashSample(docs: DataFrame, ratePct: Column): DataFrame =
+    docs.where(
+      expr("graft_hash60(concat('smp:', CAST(doc_id AS STRING))) % 100")
+        < ratePct)
 
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of

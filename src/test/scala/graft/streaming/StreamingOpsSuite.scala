@@ -201,6 +201,69 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming decontamination probe matches batch d07 shingle overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture rows through both paths: bench set = every 41st doc (the
+    // batch d07 convention), stream = 40 non-bench docs
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect()
+    val bench = all.filter(_.doc_id % 41 == 0)
+    val probeDocs = all.filter(_.doc_id % 41 != 0).take(40)
+    val benchHashes = StreamingOps.shingleHashes(bench.toSeq.toDF())
+      .select("h").distinct()
+
+    val input = MemoryStream[SimDoc]
+    val query = StreamingOps.decontaminationProbe(input.toDF(), benchHashes)
+      .writeStream.format("memory").queryName("decon_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(probeDocs.take(20): _*)
+      query.processAllAvailable()
+      input.addData(probeDocs.drop(20): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("decon_sink")
+        .groupBy("doc_id").count()
+        .as[(Long, Long)].collect().sorted.toSeq
+      // batch analog: the d07 join over the same rows (shingleHashes works
+      // identically on a batch frame — same expressions, no state)
+      val expected = StreamingOps.shingleHashes(probeDocs.toSeq.toDF())
+        .join(benchHashes, "h")
+        .groupBy("doc_id").count()
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == expected,
+        s"streamed=${streamed.take(5)}... expected=${expected.take(5)}...")
+      assert(streamed.nonEmpty, "fixture corpus should contain overlap")
+    } finally query.stop()
+  }
+
+  test("streaming hash sample keeps exactly the deterministic batch rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(60)
+    val rate = org.apache.spark.sql.functions.lit(40)
+    val input = MemoryStream[SimDoc]
+    val query = StreamingOps.hashSample(input.toDF(), rate)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sample_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      // replay the same rows: a deterministic sample must not change
+      input.addData(docs.take(10): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sample_sink")
+        .as[Long].collect().distinct.sorted.toSeq
+      val batch = StreamingOps.hashSample(docs.toSeq.toDF(), rate)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.nonEmpty && batch.size < docs.size,
+        s"rate-40 sample should be a strict non-empty subset: ${batch.size}/${docs.size}")
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
