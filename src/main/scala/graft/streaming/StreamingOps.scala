@@ -238,7 +238,10 @@ object StreamingOps {
    *  row per (doc, matching hash); counting/thresholding stays downstream,
    *  keeping the operator state-free like [[neardupProbe]]. `benchHashes`
    *  must carry the 60-bit hash column `h` — e.g.
-   *  `shingleHashes(benchDocs).select("h").distinct()`. */
+   *  `shingleHashes(benchDocs).select("h").distinct().cache()`. CACHE it:
+   *  Spark re-evaluates the static side of a stream-static join every
+   *  micro-batch, so an uncached bench plan would re-shingle and
+   *  re-distinct the whole benchmark corpus once per trigger. */
   def decontaminationProbe(
       stream: DataFrame, benchHashes: DataFrame): DataFrame =
     shingleHashes(stream).join(benchHashes, "h")

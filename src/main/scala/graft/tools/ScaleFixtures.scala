@@ -29,9 +29,14 @@ object ScaleFixtures {
       // cast back so scaled fixtures keep the source schema exactly
       // (addition with the long copy index would widen INT keys to BIGINT)
       val dt = df.schema(k).dataType
-      require(dt != org.apache.spark.sql.types.IntegerType ||
-        factor.toLong * STEP < Int.MaxValue,
-        s"factor $factor overflows INT key $k (step $STEP)")
+      if (dt == org.apache.spark.sql.types.IntegerType) {
+        // guard on the ACTUAL max value, not just the step arithmetic: a
+        // wrapped key after the narrowing cast would silently corrupt
+        // every foreign-key relationship of the scaled copy
+        val maxKey = df.agg(max(col(k).cast("long"))).head.getLong(0)
+        require(maxKey + (factor - 1).toLong * STEP <= Int.MaxValue,
+          s"factor $factor overflows INT key $k (max $maxKey, step $STEP)")
+      }
       acc.withColumn(k, (col(k) + col("graft_copy") * STEP).cast(dt))
     }.drop("graft_copy")
   }
@@ -59,9 +64,14 @@ object ScaleFixtures {
       val out =
         if (keys.isEmpty) df else scaled(df, factor, keys)
       // one file per ~128MB keeps the scan parallelism of the source dir:
-      // rows-per-128MB derived from the source table's on-disk density
+      // rows-per-128MB derived from the source table's on-disk density.
+      // Row count comes from parquet FOOTERS (no table scan — this tool's
+      // whole point is large fixtures)
       val srcBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val srcRows = math.max(1L, df.count())
+      val srcRows = math.max(1L,
+        df.queryExecution.optimizedPlan.collectLeaves().headOption
+          .flatMap(graft.rpt.ParquetRowCounts.rowCount)
+          .getOrElse(df.count()))
       val recordsPerFile = math.max(1L,
         (BigDecimal(srcRows) * 128L * 1024 * 1024 /
           BigDecimal(srcBytes.max(BigInt(1)))).toLong)
