@@ -68,7 +68,30 @@ object MultimodalQueries {
       s"""SELECT doc_id, concat_ws('-', ${m03SampleSpark.mkString(", ")}) AS thumb
          |FROM documents WHERE length(text) >= 8""".stripMargin,
       s"""SELECT doc_id, ${m03SampleDuck.mkString(" || '-' || ")} AS thumb
-         |FROM documents WHERE length(text) >= 8""".stripMargin)
+         |FROM documents WHERE length(text) >= 8""".stripMargin),
+
+    // frame sampling as its OWN row stream: one row per decoded "frame"
+    // (the FakeCodec convention: n_frames = len % 7 + 1, frame f starts at
+    // f * (len / n_frames)), each with a per-frame sample byte. The
+    // explode fan-out is bounded by n_frames — the video-pipeline shape
+    // where per-frame rows feed downstream feature extraction; stays
+    // embarrassingly parallel (explode then no shuffle).
+    dialect("m04_frame_sample",
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(ascii(substr(text,
+        |         CAST(1 + f * (length(text) DIV (length(text) % 7 + 1)) AS INT),
+        |         1)) AS BIGINT) AS frame_ck
+        |FROM documents
+        |LATERAL VIEW explode(sequence(0, length(text) % 7)) t AS f
+        |WHERE length(text) >= 8""".stripMargin,
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(ascii(substr(text,
+        |         CAST(1 + f * (length(text) // (length(text) % 7 + 1)) AS INT),
+        |         1)) AS BIGINT) AS frame_ck
+        |FROM (SELECT doc_id, text,
+        |             unnest(range(0, length(text) % 7 + 1)) AS f
+        |      FROM documents)
+        |WHERE length(text) >= 8""".stripMargin)
   )
 
   // byte i*stride for i in 0..7, stride = len/8 (integer division)

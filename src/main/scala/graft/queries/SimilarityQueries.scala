@@ -262,6 +262,26 @@ object SimilarityQueries {
          |  FROM cand c
          |  JOIN e q ON q.vec_id = c.query_id
          |  JOIN e n ON n.vec_id = c.neighbor_id) t
-         |WHERE rank <= 3""".stripMargin)
+         |WHERE rank <= 3""".stripMargin),
+
+    // embedding-corpus QA audit: per-label norm histogram (quarter-unit
+    // buckets). The ops team's "are these embeddings sane" pass — catches
+    // zero vectors, collapsed norms, and per-label distribution drift
+    // before any similarity search runs. One map-side-aggregable GROUP BY
+    // (no joins, no explode): scan-bound at any corpus size. Bucket edges
+    // are safe cross-engine because the norm folds are bit-identical
+    // (graft_dot ≡ list_reduce strict left fold, see header).
+    dialect("s06_embedding_stats",
+      s"""WITH e AS ($sparkNormalized)
+         |SELECT label, CAST(floor(nrm * 4) AS BIGINT) AS norm_bucket,
+         |       count(*) AS n, min(vec_id) AS first_vec
+         |FROM e GROUP BY 1, 2""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
+         |  FROM embeddings)
+         |SELECT label, CAST(floor(nrm * 4) AS BIGINT) AS norm_bucket,
+         |       count(*) AS n, min(vec_id) AS first_vec
+         |FROM e GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -115,6 +115,61 @@ class TransferPropertySuite extends SparkTestBase {
         "gates suppressed the sweep")
   }
 
+  test("rewrite preserves results on barrier shapes under two-phase variants") {
+    // barrier units (union / global aggregate / window) with a JOIN nested
+    // INSIDE them — the shape where splice() must reach units inside a
+    // barrier subtree and where cacheBuilds must decline to cache the
+    // barrier (nested-unit exclusion). Swept against every two-phase
+    // feature: cached builds, literal bounds, runtime-sized builds.
+    val params = Gen.Parameters.default
+    val instances = (200 to 209).flatMap(i => genInstance(params, Seed(i.toLong)))
+      .filter(_.dimRows.size >= 3)
+    assert(instances.size >= 5, "generator starved the barrier sweep")
+    val barriers = Seq("union", "agg", "window")
+    val variants: Seq[(String, Seq[(String, String)])] = Seq(
+      "plain" -> Seq.empty,
+      "cacheBuilds" -> Seq(RptConf.CACHE_BUILDS -> "true"),
+      "literalBounds" -> Seq(RptConf.LITERAL_BOUNDS -> "true",
+        RptConf.FILTER_TYPE -> "all"),
+      "runtimeSized" -> Seq(RptConf.RUNTIME_SIZED_BUILDS -> "true",
+        RptConf.RUNTIME_SIZING_MIN_ROWS -> "0"))
+    instances.zipWithIndex.foreach { case (inst, idx) =>
+      buildViews(inst)
+      val r = inst.keyRange
+      val nested =
+        s"""p_dim0 JOIN p_dim1 ON CAST(p_dim0.dv0 % $r AS INT) = p_dim1.dk1
+           |WHERE p_dim1.dv1 < ${inst.filterBelow}""".stripMargin
+      val inner = barriers(idx % barriers.size) match {
+        case "union" =>
+          s"""SELECT p_dim0.dk0 AS bk FROM $nested
+             |UNION ALL SELECT dk2 AS bk FROM p_dim2""".stripMargin
+        case "agg" =>
+          s"SELECT max(p_dim0.dk0) AS bk FROM $nested"
+        case _ =>
+          s"""SELECT bk FROM (
+             |  SELECT p_dim0.dk0 AS bk,
+             |         row_number() OVER (PARTITION BY p_dim0.dk0
+             |                            ORDER BY p_dim1.dv1) AS rn
+             |  FROM $nested) w WHERE rn = 1""".stripMargin
+      }
+      val sql =
+        s"""SELECT count(*) AS n, sum(v) AS sv
+           |FROM p_fact JOIN ($inner) u ON p_fact.k0 = u.bk
+           |WHERE p_fact.v < ${inst.filterBelow}""".stripMargin
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      variants.foreach { case (vname, confs) =>
+        try {
+          val on = withConf(openGates ++ confs :+
+            (RptConf.ENABLED -> "true"): _*)(fingerprint(spark.sql(sql)))
+          assert(on == off,
+            s"variant $vname changed results for: $inst barrier=${barriers(idx % barriers.size)}\n$sql")
+        } finally {
+          spark.catalog.clearCache()
+        }
+      }
+    }
+  }
+
   test("rewrite preserves results with minmax and forwardOnly variants") {
     val params = Gen.Parameters.default
     val instances = (100 to 110).flatMap(i => genInstance(params, Seed(i.toLong)))

@@ -264,6 +264,37 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("file-source stream resumes from checkpoint exactly-once") {
+    // the production recovery story: a file-source stream with a
+    // checkpointed file sink, killed and restarted — rows written before
+    // the stop must NOT be reprocessed, rows arriving while down must be
+    // picked up. hashSample(rate=100) keeps every row, so the assertion is
+    // pure exactly-once accounting.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (in, chk, out) = (s"$base/in", s"$base/chk", s"$base/out")
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    docs(0 until 10).write.mode("append").parquet(in)
+
+    def startQuery() = StreamingOps.hashSample(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+      org.apache.spark.sql.functions.lit(100))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    docs(10 until 20).write.mode("append").parquet(in) // arrives while down
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L until 20L), // each row exactly once across the restart
+      s"expected 0..19 exactly once, got ${got.size} rows: $got")
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
