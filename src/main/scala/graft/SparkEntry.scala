@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every declared capability (query + optional DuckDB oracle). */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    *  The 5-table chain join — predicate transfer's showcase shape. */

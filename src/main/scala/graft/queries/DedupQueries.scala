@@ -25,7 +25,7 @@ object DedupQueries {
   // strings (the strings exist only partition-locally, pre-hash).
   // Docs with <3 tokens produce no shingles (guarded explicitly: Spark's
   // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
-  private val sparkShingles =
+  private[queries] val sparkShingles =
     """SELECT DISTINCT doc_id,
       |       graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
       |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
@@ -35,7 +35,7 @@ object DedupQueries {
   // unnest(range(...)) instead of lateral generate_series (DuckDB's binder
   // rejects lateral column refs in table functions); range(1, n+1) is empty
   // for n <= 0, so short docs drop out naturally
-  private val duckShingles =
+  private[queries] val duckShingles =
     """SELECT DISTINCT doc_id,
       |       CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15) AS BIGINT) AS h
       |FROM (SELECT doc_id, w,

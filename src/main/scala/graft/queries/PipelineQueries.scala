@@ -1,0 +1,127 @@
+package graft.queries
+
+import QueryDef._
+
+/**
+ * End-to-end training-data curation pipeline over `documents` — the
+ * composition proof for the per-stage operators (t02 quality, t03 langid,
+ * d02 exact dedup, d07 decontamination, t05 deterministic sampling): one
+ * query runs the whole funnel and reports per-source survivor counts at
+ * every stage, so a mix change at any stage is visible in one scan of the
+ * output.
+ *
+ * Stage semantics are cumulative (each stage filters the previous stage's
+ * survivors), matching how a real curation run is sequenced:
+ *   raw → quality (>=30 tokens) → language (en stopword vote) →
+ *   exact dedup (min doc_id per md5(text) among language survivors) →
+ *   decontamination (no 3-gram shared with the held-out bench set, bench
+ *   members themselves dropped) → deterministic per-source hash sample.
+ *
+ * Scale shape (the reason this funnel survives 100 TB):
+ *  - token stats: one explode + hash-aggregate keyed on the UNIQUE doc_id —
+ *    embarrassingly parallel, no skew;
+ *  - dedup survivors: one hash-aggregate keyed on md5(text) (8-byte-ish
+ *    keys, map-side partial min);
+ *  - decontamination: the bench side collapses to a DISTINCT set of 60-bit
+ *    shingle hashes — tiny next to the corpus, so the contamination probe
+ *    is a broadcast hash-join (never an all-pairs compare);
+ *  - sampling: a pure map-side deterministic predicate (no rand(), stable
+ *    across engines and retried tasks);
+ *  - the final rollup groups by `source` (~20 groups) — partial aggregation
+ *    makes the funnel's only unavoidable shuffle a few hundred bytes per
+ *    task.
+ */
+object PipelineQueries {
+
+  private val rateCase =
+    """CASE WHEN %s IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 80
+      |     WHEN %s IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 50
+      |     ELSE 20 END""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    dialect("p01_curation_funnel",
+      s"""WITH stats AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_tok,
+         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
+         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+         |  FROM (SELECT doc_id, tok
+         |        FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
+         |  GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id, d.source, d.text,
+         |         (s.n_tok >= 30) AS ok_q,
+         |         (s.n_tok >= 30 AND s.en >= 1 AND s.en >= s.xx) AS ok_l
+         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+         |surv AS (
+         |  SELECT min(doc_id) AS keep_id
+         |  FROM flags WHERE ok_l GROUP BY md5(text)),
+         |sh AS (${DedupQueries.sparkShingles}),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 41 = 0),
+         |contam AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
+         |  WHERE s.doc_id % 41 <> 0),
+         |staged AS (
+         |  SELECT f.source, f.ok_q, f.ok_l,
+         |         (f.ok_l AND v.keep_id IS NOT NULL) AS ok_d,
+         |         (f.ok_l AND v.keep_id IS NOT NULL
+         |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL) AS ok_c,
+         |         (f.ok_l AND v.keep_id IS NOT NULL
+         |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL
+         |            AND graft_hash60(concat('smp:', CAST(f.doc_id AS STRING))) % 100
+         |                < ${rateCase.format("f.source", "f.source")}) AS ok_s
+         |  FROM flags f
+         |  LEFT JOIN surv v ON f.doc_id = v.keep_id
+         |  LEFT JOIN contam c ON f.doc_id = c.doc_id)
+         |SELECT source,
+         |       count(*) AS n_raw,
+         |       CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN ok_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |       CAST(sum(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |       CAST(sum(CASE WHEN ok_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       CAST(sum(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM staged GROUP BY source""".stripMargin,
+      s"""WITH stats AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_tok,
+         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
+         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) e
+         |  GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id, d.source, d.text,
+         |         (s.n_tok >= 30) AS ok_q,
+         |         (s.n_tok >= 30 AND s.en >= 1 AND s.en >= s.xx) AS ok_l
+         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+         |surv AS (
+         |  SELECT min(doc_id) AS keep_id
+         |  FROM flags WHERE ok_l GROUP BY md5(text)),
+         |sh AS (${DedupQueries.duckShingles}),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 41 = 0),
+         |contam AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
+         |  WHERE s.doc_id % 41 <> 0),
+         |staged AS (
+         |  SELECT f.source, f.ok_q, f.ok_l,
+         |         (f.ok_l AND v.keep_id IS NOT NULL) AS ok_d,
+         |         (f.ok_l AND v.keep_id IS NOT NULL
+         |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL) AS ok_c,
+         |         (f.ok_l AND v.keep_id IS NOT NULL
+         |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL
+         |            AND CAST('0x' || substr(md5('smp:' || CAST(f.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+         |                < ${rateCase.format("f.source", "f.source")}) AS ok_s
+         |  FROM flags f
+         |  LEFT JOIN surv v ON f.doc_id = v.keep_id
+         |  LEFT JOIN contam c ON f.doc_id = c.doc_id)
+         |SELECT source,
+         |       count(*) AS n_raw,
+         |       CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN ok_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |       CAST(sum(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |       CAST(sum(CASE WHEN ok_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       CAST(sum(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM staged GROUP BY source""".stripMargin)
+  )
+}
