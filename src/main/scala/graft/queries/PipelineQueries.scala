@@ -122,6 +122,59 @@ object PipelineQueries {
          |       CAST(sum(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
          |       CAST(sum(CASE WHEN ok_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |       CAST(sum(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-         |FROM staged GROUP BY source""".stripMargin)
+         |FROM staged GROUP BY source""".stripMargin),
+
+    // token-budget mixture planner — the data-mixing primitive that sits in
+    // front of t05's hash sampler: given per-source mixture weights and a
+    // total token budget, compute each source's keep rate and allocation
+    // (proportional share, capped at 1.0 when a source can't fill its
+    // share). Scale shape: one scan + a ~20-group aggregate, then a
+    // broadcastable one-row total — the plan is scan-bound at any corpus
+    // size and the output is one row per source. The rate/allocation math
+    // divides exact integers in a fixed order, so the doubles (and their
+    // floor) are bit-identical across engines.
+    dialect("p02_token_budget",
+      """WITH tok AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(size(split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 3
+        |              WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 2
+        |              ELSE 1 END AS wgt
+        |  FROM tok),
+        |tot AS (SELECT sum(wgt) AS wsum FROM w)
+        |SELECT w.source,
+        |       CAST(w.n_docs AS BIGINT) AS n_docs,
+        |       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(w.wgt AS BIGINT) AS weight,
+        |       least(CAST(1 AS DOUBLE),
+        |             CAST(20000 AS DOUBLE) * w.wgt / t.wsum / w.n_tokens) AS keep_rate,
+        |       CAST(floor(least(CAST(1 AS DOUBLE),
+        |             CAST(20000 AS DOUBLE) * w.wgt / t.wsum / w.n_tokens)
+        |           * w.n_tokens) AS BIGINT) AS alloc_tokens
+        |FROM w CROSS JOIN tot t""".stripMargin,
+      """WITH tok AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 3
+        |              WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 2
+        |              ELSE 1 END AS wgt
+        |  FROM tok),
+        |tot AS (SELECT sum(wgt) AS wsum FROM w)
+        |SELECT w.source,
+        |       CAST(w.n_docs AS BIGINT) AS n_docs,
+        |       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(w.wgt AS BIGINT) AS weight,
+        |       least(CAST(1 AS DOUBLE),
+        |             CAST(20000 AS DOUBLE) * w.wgt / t.wsum / w.n_tokens) AS keep_rate,
+        |       CAST(floor(least(CAST(1 AS DOUBLE),
+        |             CAST(20000 AS DOUBLE) * w.wgt / t.wsum / w.n_tokens)
+        |           * w.n_tokens) AS BIGINT) AS alloc_tokens
+        |FROM w CROSS JOIN tot t""".stripMargin)
   )
 }

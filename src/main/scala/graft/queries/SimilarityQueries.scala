@@ -70,6 +70,39 @@ object SimilarityQueries {
       s"CASE WHEN ${dot(4 * band + i)} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
+  // IVF coarse-quantizer assignment (shared by s05/s07): 16 deterministic
+  // centroids (the first 16 vectors), every vector assigned to its best
+  // cell via a map-side-combinable struct-max argmax over the broadcast
+  // n×16 similarity pass (ties break to the larger centroid id identically
+  // on both engines). Expects a CTE `e(vec_id, v, nrm)` in scope.
+  private val sparkIvfAssign =
+    """cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+      |         WHERE vec_id < 16),
+      |sims AS (
+      |  SELECT x.vec_id, c.cid,
+      |         graft_dot(x.v, c.cv) / (x.nrm * c.cnrm) AS sim
+      |  FROM e x CROSS JOIN cent c),
+      |assign AS (
+      |  SELECT vec_id, max(struct(sim, cid)).cid AS cid
+      |  FROM sims GROUP BY vec_id)""".stripMargin
+
+  private val duckNormalized =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |       sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val duckIvfAssign =
+    """cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+      |         WHERE vec_id < 16),
+      |sims AS (
+      |  SELECT x.vec_id, c.cid,
+      |         list_reduce(list_transform(list_zip(x.v, c.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
+      |           / (x.nrm * c.cnrm) AS sim
+      |  FROM e x CROSS JOIN cent c),
+      |assign AS (
+      |  SELECT vec_id, (max({'sim': sim, 'cid': cid})).cid AS cid
+      |  FROM sims GROUP BY vec_id)""".stripMargin
+
   private val sparkLsh = {
     def dot(p: Int) = s"graft_dot(eb.v, pl.a$p)"
     s"""planes AS (
@@ -199,15 +232,7 @@ object SimilarityQueries {
     // same way LSH buckets do.
     dialect("s05_ivf_ann",
       s"""WITH e AS ($sparkNormalized),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-         |         WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT x.vec_id, c.cid,
-         |         graft_dot(x.v, c.cv) / (x.nrm * c.cnrm) AS sim
-         |  FROM e x CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, max(struct(sim, cid)).cid AS cid
-         |  FROM sims GROUP BY vec_id),
+         |$sparkIvfAssign,
          |qprobe AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -228,20 +253,8 @@ object SimilarityQueries {
          |  JOIN e q ON q.vec_id = c.query_id
          |  JOIN e n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= 3""".stripMargin,
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
-         |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-         |         WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT x.vec_id, c.cid,
-         |         list_reduce(list_transform(list_zip(x.v, c.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
-         |           / (x.nrm * c.cnrm) AS sim
-         |  FROM e x CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, (max({'sim': sim, 'cid': cid})).cid AS cid
-         |  FROM sims GROUP BY vec_id),
+      s"""WITH e AS ($duckNormalized),
+         |$duckIvfAssign,
          |qprobe AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -282,6 +295,42 @@ object SimilarityQueries {
          |  FROM embeddings)
          |SELECT label, CAST(floor(nrm * 4) AS BIGINT) AS norm_bucket,
          |       count(*) AS n, min(vec_id) AS first_vec
-         |FROM e GROUP BY 1, 2""".stripMargin)
+         |FROM e GROUP BY 1, 2""".stripMargin),
+
+    // semantic (embedding-space) dedup, the SemDeDup shape: vectors are
+    // grouped by their IVF cell (the s05 coarse quantizer), near-duplicate
+    // pairs are detected by exact cosine WITHIN a cell only, and each
+    // duplicate group keeps its lowest-id representative (a vector is
+    // dropped iff a lower-id cell-mate sits above the threshold). At 100 TB
+    // this is the scale story of embedding dedup: the all-pairs compare of
+    // s02 collapses to per-cell blocks whose population the quantizer
+    // bounds, and the pair join is an equi-join on cid. The 0.4 threshold
+    // sits inside the fixture's observed within-cell cosine distribution
+    // (max ~0.49; s02's 0.95 gate matches nothing at small sf) so both the
+    // kept and dropped branches are exercised.
+    dialect("s07_semdedup",
+      s"""WITH e AS ($sparkNormalized),
+         |$sparkIvfAssign,
+         |dup AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm) > CAST(0.4 AS DOUBLE))
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+      s"""WITH e AS ($duckNormalized),
+         |$duckIvfAssign,
+         |dup AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE list_reduce(list_transform(list_zip(ea.v, eb.v), t -> t[1] * t[2]), (acc, y) -> acc + y)
+         |           / (ea.nrm * eb.nrm) > CAST(0.4 AS DOUBLE))
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin)
   )
 }

@@ -247,6 +247,40 @@ object StreamingOps {
     shingleHashes(stream).join(benchHashes, "h")
       .select(col("doc_id"), col("h").as("bench_h"))
 
+  /** Repetition quality gate — the streaming form of batch t06 (the
+   *  Gopher/C4 repetition family): per document the most-common-word
+   *  fraction and duplicate-2-gram fraction, plus the keep/drop flag. A
+   *  document carries all its tokens, so BOTH metrics compute inside the
+   *  row (the batch shape needs an explode + (doc_id, tok) aggregate for
+   *  the top-word count; a stream trades that shuffle for an in-row
+   *  distinct-scan — bounded by tokens/doc, so still ingest-rate): no
+   *  state, no watermark, no shuffle. Fractions divide the same exact
+   *  integers as the batch query, so the doubles are bit-identical. */
+  def repetitionGate(
+      docs: DataFrame,
+      maxTopWordFrac: Double = 0.12,
+      maxDup2GramFrac: Double = 0.05): DataFrame =
+    docs
+      .withColumn("graft_toks", split(col("text"), " "))
+      .withColumn("graft_grams", expr(
+        """zip_with(slice(graft_toks, 1, size(graft_toks) - 1),
+          |         slice(graft_toks, 2, size(graft_toks) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("top_word_frac", expr(
+        """CAST(array_max(transform(array_distinct(graft_toks),
+          |  t -> size(filter(graft_toks, x -> x = t)))) AS DOUBLE)
+          |  / size(graft_toks)""".stripMargin))
+      .withColumn("dup_2gram_frac", expr(
+        """CASE WHEN size(graft_grams) > 0
+          |     THEN CAST(1 AS DOUBLE)
+          |          - CAST(size(array_distinct(graft_grams)) AS DOUBLE)
+          |            / size(graft_grams)
+          |     ELSE CAST(0 AS DOUBLE) END""".stripMargin))
+      .withColumn("keep",
+        col("top_word_frac") <= maxTopWordFrac &&
+          col("dup_2gram_frac") <= maxDup2GramFrac)
+      .drop("graft_toks", "graft_grams")
+
   /** Deterministic hash sampling — the streaming form of batch t05: keep a
    *  row iff its doc_id hashes under `ratePct` (0–100; any per-row
    *  expression, e.g. a per-source rate). No rand(): the decision is a

@@ -237,6 +237,38 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming repetition gate matches batch t06 metrics bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME physical rows through both paths: 60 fixture documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(60)
+    val batchT06 = graft.queries.TextQueries.defs
+      .find(_.name == "t06_repetition").get.fn(spark, sfDir)
+      .where($"doc_id".isin(docs.map(_.doc_id): _*))
+      .select("doc_id", "top_word_frac", "dup_2gram_frac", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[SimDoc]
+    val query = StreamingOps.repetitionGate(input.toDF())
+      .select("doc_id", "top_word_frac", "dup_2gram_frac", "keep")
+      .writeStream.format("memory").queryName("rep_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(30): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(30): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("rep_sink")
+        .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed == batchT06,
+        s"streaming repetition gate diverges from batch t06 (first " +
+          s"mismatch: ${streamed.zip(batchT06).find(p => p._1 != p._2)})")
+      assert(streamed.exists(_._4) && streamed.exists(!_._4),
+        "fixture slice should exercise both keep and drop branches")
+    } finally query.stop()
+  }
+
   test("streaming hash sample keeps exactly the deterministic batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
