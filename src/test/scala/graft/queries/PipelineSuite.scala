@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/**
+ * Invariants of the p-series curation operators that the oracle's
+ * hash-compare can't articulate: the p02 budget planner must never
+ * allocate more than the budget (capped proportional share), its rates
+ * must be valid probabilities, and capping must actually occur on the
+ * fixtures (otherwise the `least` branch is dead code).
+ */
+class PipelineSuite extends SparkTestBase {
+
+  private val budget = 20000L
+
+  test("p02 token-budget allocations respect the budget and rate bounds") {
+    val rows = PipelineQueries.defs.find(_.name == "p02_token_budget").get
+      .fn(spark, sfDir)
+      .selectExpr("source", "n_tokens", "weight", "keep_rate", "alloc_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+
+    rows.foreach { case (src, tokens, weight, rate, alloc) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate out of (0,1]")
+      assert(alloc <= tokens, s"$src allocated more tokens than it has")
+      assert(math.abs(alloc - math.floor(rate * tokens)) < 1e-6,
+        s"$src alloc $alloc inconsistent with rate $rate * $tokens")
+      val expectedW =
+        if (Set("src0", "src4", "src8", "src12", "src16")(src)) 3
+        else if (Set("src1", "src5", "src9", "src13", "src17")(src)) 2
+        else 1
+      assert(weight == expectedW, s"$src weight $weight != $expectedW")
+    }
+    val total = rows.map(_._5).sum
+    assert(total <= budget,
+      s"total allocation $total exceeds budget $budget")
+    assert(total > budget / 2, s"total allocation $total implausibly low")
+    // the cap must fire somewhere and not everywhere
+    assert(rows.exists(_._4 == 1.0), "no source hit the rate cap")
+    assert(rows.exists(_._4 < 1.0), "every source hit the rate cap")
+  }
+}

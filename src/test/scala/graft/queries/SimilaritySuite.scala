@@ -43,4 +43,39 @@ class SimilaritySuite extends SparkTestBase {
       assert(run(name).forall { case (q, n) => q != n }, s"$name self-match")
     }
   }
+
+  // s07 semantics re-derived independently of its own SQL: a vector is
+  // dropped iff a LOWER-id cell-mate sits above the cosine threshold —
+  // so per cell the lowest id is always kept, every drop has a kept-or-
+  // earlier witness, and the gate actually fires on the fixtures.
+  test("s07 semdedup keeps per-cell lowest ids and drops only with a witness") {
+    val rows = SimilarityQueries.defs.find(_.name == "s07_semdedup").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (cid, members) =>
+      val lowest = members.minBy(_._1)
+      assert(lowest._3, s"cell $cid lowest id ${lowest._1} was dropped")
+    }
+    assert(rows.exists(!_._3), "fixture corpus should produce drops")
+    assert(rows.count(_._3) > rows.length / 2, "gate dropped a majority")
+
+    // every dropped vector must have a lower-id cell-mate above 0.4 cosine
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filterNot(_._3).foreach { case (id, cid, _) =>
+      val mates = byCell(cid).filter(_._1 < id)
+      assert(mates.exists(m => cos(emb(m._1), emb(id)) > 0.4),
+        s"dropped vec $id has no lower-id witness above threshold in cell $cid")
+    }
+  }
 }
