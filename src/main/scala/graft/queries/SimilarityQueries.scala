@@ -70,7 +70,7 @@ object SimilarityQueries {
       s"CASE WHEN ${dot(4 * band + i)} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
-  // IVF coarse-quantizer assignment (shared by s05/s07): 16 deterministic
+  // IVF coarse-quantizer assignment (s05): 16 deterministic
   // centroids (the first 16 vectors), every vector assigned to its best
   // cell via a map-side-combinable struct-max argmax over the broadcast
   // n×16 similarity pass (ties break to the larger centroid id identically
@@ -308,29 +308,51 @@ object SimilarityQueries {
     // sits inside the fixture's observed within-cell cosine distribution
     // (max ~0.49; s02's 0.95 gate matches nothing at small sf) so both the
     // kept and dropped branches are exercised.
+    // Plan note: Spark inlines CTEs, so the `av` assignment runs once per
+    // reference (3×). With the aggregate-based assignment (s05's shape)
+    // each copy cost an n×16 cross join + argmax aggregate + 2 shuffles;
+    // here the argmax folds IN-ROW over a one-row broadcast centroid array
+    // (the same single-pass trick as the s03/s04 planes), so every copy is
+    // a map-only scan — no shuffle, no aggregate — and the pair join
+    // carries v/nrm directly instead of re-joining `e`. array_max over
+    // struct(sim, cid) ties to the larger cid on both engines, matching
+    // s05's max(struct(sim, cid)) assignment exactly.
     dialect("s07_semdedup",
       s"""WITH e AS ($sparkNormalized),
-         |$sparkIvfAssign,
+         |cents AS (
+         |  SELECT collect_list(struct(vec_id AS cid, v AS cv, nrm AS cnrm)) AS cs
+         |  FROM e WHERE vec_id < 16),
+         |av AS (
+         |  SELECT e.vec_id, e.v, e.nrm,
+         |         array_max(transform(c.cs, x ->
+         |           struct(graft_dot(e.v, x.cv) / (e.nrm * x.cnrm) AS sim,
+         |                  x.cid AS cid))).cid AS cid
+         |  FROM e CROSS JOIN cents c),
          |dup AS (
          |  SELECT DISTINCT a.vec_id
-         |  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
-         |  JOIN e ea ON ea.vec_id = a.vec_id
-         |  JOIN e eb ON eb.vec_id = b.vec_id
-         |  WHERE graft_dot(ea.v, eb.v) / (ea.nrm * eb.nrm) > CAST(0.4 AS DOUBLE))
+         |  FROM av a JOIN av b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE graft_dot(a.v, b.v) / (a.nrm * b.nrm) > CAST(0.4 AS DOUBLE))
          |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
          |       (d.vec_id IS NULL) AS kept
-         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+         |FROM av a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
       s"""WITH e AS ($duckNormalized),
-         |$duckIvfAssign,
+         |cents AS (
+         |  SELECT list({'cid': vec_id, 'cv': v, 'cnrm': nrm}) AS cs
+         |  FROM e WHERE vec_id < 16),
+         |av AS (
+         |  SELECT e.vec_id, e.v, e.nrm,
+         |         (list_aggregate(list_transform(c.cs, x ->
+         |           {'sim': list_reduce(list_transform(list_zip(e.v, x.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
+         |                     / (e.nrm * x.cnrm),
+         |            'cid': x.cid}), 'max')).cid AS cid
+         |  FROM e CROSS JOIN cents c),
          |dup AS (
          |  SELECT DISTINCT a.vec_id
-         |  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
-         |  JOIN e ea ON ea.vec_id = a.vec_id
-         |  JOIN e eb ON eb.vec_id = b.vec_id
-         |  WHERE list_reduce(list_transform(list_zip(ea.v, eb.v), t -> t[1] * t[2]), (acc, y) -> acc + y)
-         |           / (ea.nrm * eb.nrm) > CAST(0.4 AS DOUBLE))
+         |  FROM av a JOIN av b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE list_reduce(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]), (acc, y) -> acc + y)
+         |           / (a.nrm * b.nrm) > CAST(0.4 AS DOUBLE))
          |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
          |       (d.vec_id IS NULL) AS kept
-         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin)
+         |FROM av a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin)
   )
 }
