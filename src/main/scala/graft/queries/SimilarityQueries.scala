@@ -70,38 +70,46 @@ object SimilarityQueries {
       s"CASE WHEN ${dot(4 * band + i)} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
-  // IVF coarse-quantizer assignment (s05): 16 deterministic
-  // centroids (the first 16 vectors), every vector assigned to its best
-  // cell via a map-side-combinable struct-max argmax over the broadcast
-  // n×16 similarity pass (ties break to the larger centroid id identically
-  // on both engines). Expects a CTE `e(vec_id, v, nrm)` in scope.
-  private val sparkIvfAssign =
-    """cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-      |         WHERE vec_id < 16),
-      |sims AS (
-      |  SELECT x.vec_id, c.cid,
-      |         graft_dot(x.v, c.cv) / (x.nrm * c.cnrm) AS sim
-      |  FROM e x CROSS JOIN cent c),
-      |assign AS (
-      |  SELECT vec_id, max(struct(sim, cid)).cid AS cid
-      |  FROM sims GROUP BY vec_id)""".stripMargin
+  // IVF coarse quantizer (shared by s05/s07): 16 deterministic centroids
+  // (the first 16 vectors) collected into ONE broadcast row, so every
+  // per-vector assignment or probe ranking folds IN-ROW over the centroid
+  // array — a map-only scan with no cross-join row amplification, no
+  // aggregate, no shuffle (the same single-pass shape as the s03/s04
+  // planes). Spark inlines CTEs, so each reference to an assignment CTE
+  // re-runs its subtree; map-only copies make that re-run a cheap scan
+  // instead of a shuffle pipeline. array_max / list max over
+  // struct(sim, cid) ties to the larger cid identically on both engines.
+  // Expects a CTE `e(vec_id, v, nrm)` in scope.
+  private val sparkCents =
+    """cents AS (
+      |  SELECT collect_list(struct(vec_id AS cid, v AS cv, nrm AS cnrm)) AS cs
+      |  FROM e WHERE vec_id < 16)""".stripMargin
+
+  // per-vector array of (sim, cid) against all 16 centroids, in one row
+  private val sparkSimsArr =
+    """simsarr AS (
+      |  SELECT e.vec_id, transform(c.cs, x ->
+      |           struct(graft_dot(e.v, x.cv) / (e.nrm * x.cnrm) AS sim,
+      |                  x.cid AS cid)) AS sa
+      |  FROM e CROSS JOIN cents c)""".stripMargin
 
   private val duckNormalized =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |       sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val duckIvfAssign =
-    """cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-      |         WHERE vec_id < 16),
-      |sims AS (
-      |  SELECT x.vec_id, c.cid,
-      |         list_reduce(list_transform(list_zip(x.v, c.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
-      |           / (x.nrm * c.cnrm) AS sim
-      |  FROM e x CROSS JOIN cent c),
-      |assign AS (
-      |  SELECT vec_id, (max({'sim': sim, 'cid': cid})).cid AS cid
-      |  FROM sims GROUP BY vec_id)""".stripMargin
+  private val duckCents =
+    """cents AS (
+      |  SELECT list({'cid': vec_id, 'cv': v, 'cnrm': nrm}) AS cs
+      |  FROM e WHERE vec_id < 16)""".stripMargin
+
+  private val duckSimsArr =
+    """simsarr AS (
+      |  SELECT e.vec_id, list_transform(c.cs, x ->
+      |           {'sim': list_reduce(list_transform(list_zip(e.v, x.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
+      |                     / (e.nrm * x.cnrm),
+      |            'cid': x.cid}) AS sa
+      |  FROM e CROSS JOIN cents c)""".stripMargin
 
   private val sparkLsh = {
     def dot(p: Int) = s"graft_dot(eb.v, pl.a$p)"
@@ -223,23 +231,28 @@ object SimilarityQueries {
 
     // IVF (inverted-file) ANN — the second scale path next to LSH (s04):
     // a 16-centroid coarse quantizer (deterministic: the first 16 vectors),
-    // each vector assigned to its best cell via a map-side-combinable
-    // struct-max argmax (NO window sort over the n×16 similarity pass —
-    // at 100 TB the assignment is one broadcast-join scan + partial aggs;
-    // ties break to the larger centroid id identically on both engines),
-    // queries probe their nprobe=2 nearest cells, candidates re-ranked
-    // with the exact cosine. Cell population bounds the candidate set the
-    // same way LSH buckets do.
+    // each vector assigned to its best cell by an IN-ROW argmax over the
+    // broadcast centroid array (map-only — no n×16 row amplification, no
+    // aggregate, no shuffle; ties break to the larger centroid id
+    // identically on both engines), queries rank their nprobe=2 nearest
+    // cells in-row too (sort by struct(-sim, cid) replicates
+    // `ORDER BY sim DESC, cid` bit-for-bit), candidates re-ranked with the
+    // exact cosine. Cell population bounds the candidate set the same way
+    // LSH buckets do.
     dialect("s05_ivf_ann",
       s"""WITH e AS ($sparkNormalized),
-         |$sparkIvfAssign,
+         |$sparkCents,
+         |$sparkSimsArr,
+         |assign AS (
+         |  SELECT vec_id, array_max(sa).cid AS cid FROM simsarr),
          |qprobe AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY sim DESC, cid) AS rn
-         |    FROM sims WHERE vec_id < 20) t
-         |  WHERE rn <= 2),
+         |  SELECT vec_id,
+         |         explode(array(element_at(top2, 1).cid, element_at(top2, 2).cid)) AS cid
+         |  FROM (
+         |    SELECT vec_id,
+         |           slice(array_sort(transform(sa, s ->
+         |             struct(-s.sim AS negsim, s.cid AS cid))), 1, 2) AS top2
+         |    FROM simsarr WHERE vec_id < 20) q),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id
          |  FROM qprobe q JOIN assign a ON a.cid = q.cid
@@ -254,14 +267,18 @@ object SimilarityQueries {
          |  JOIN e n ON n.vec_id = c.neighbor_id) t
          |WHERE rank <= 3""".stripMargin,
       s"""WITH e AS ($duckNormalized),
-         |$duckIvfAssign,
+         |$duckCents,
+         |$duckSimsArr,
+         |assign AS (
+         |  SELECT vec_id, (list_aggregate(sa, 'max')).cid AS cid FROM simsarr),
          |qprobe AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY sim DESC, cid) AS rn
-         |    FROM sims WHERE vec_id < 20) t
-         |  WHERE rn <= 2),
+         |  SELECT vec_id,
+         |         unnest([top2[1].cid, top2[2].cid]) AS cid
+         |  FROM (
+         |    SELECT vec_id,
+         |           list_sort(list_transform(sa, s ->
+         |             {'negsim': -s.sim, 'cid': s.cid}))[1:2] AS top2
+         |    FROM simsarr WHERE vec_id < 20) q),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id
          |  FROM qprobe q JOIN assign a ON a.cid = q.cid
@@ -319,9 +336,7 @@ object SimilarityQueries {
     // s05's max(struct(sim, cid)) assignment exactly.
     dialect("s07_semdedup",
       s"""WITH e AS ($sparkNormalized),
-         |cents AS (
-         |  SELECT collect_list(struct(vec_id AS cid, v AS cv, nrm AS cnrm)) AS cs
-         |  FROM e WHERE vec_id < 16),
+         |$sparkCents,
          |av AS (
          |  SELECT e.vec_id, e.v, e.nrm,
          |         array_max(transform(c.cs, x ->
@@ -336,9 +351,7 @@ object SimilarityQueries {
          |       (d.vec_id IS NULL) AS kept
          |FROM av a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
       s"""WITH e AS ($duckNormalized),
-         |cents AS (
-         |  SELECT list({'cid': vec_id, 'cv': v, 'cnrm': nrm}) AS cs
-         |  FROM e WHERE vec_id < 16),
+         |$duckCents,
          |av AS (
          |  SELECT e.vec_id, e.v, e.nrm,
          |         (list_aggregate(list_transform(c.cs, x ->
