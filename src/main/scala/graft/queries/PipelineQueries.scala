@@ -175,6 +175,36 @@ object PipelineQueries {
         |       CAST(floor(least(CAST(1 AS DOUBLE),
         |             CAST(20000 AS DOUBLE) * w.wgt / t.wsum / w.n_tokens)
         |           * w.n_tokens) AS BIGINT) AS alloc_tokens
-        |FROM w CROSS JOIN tot t""".stripMargin)
+        |FROM w CROSS JOIN tot t""".stripMargin),
+
+    // output-shard planning — the write-out end of the curation pipeline:
+    // every document is assigned to one of 32 shards by a deterministic
+    // content-independent hash of its id (so retried writers and both
+    // engines agree), and the query audits shard balance (doc/token counts
+    // per shard, dominant source per shard via struct-max). At 100 TB this
+    // is the pre-write balance check before `repartition(shard)` — a pure
+    // map-side shard assignment plus one 32-group aggregate; no skew
+    // because the hash is uniform over doc ids.
+    dialect("p03_shard_plan",
+      """SELECT shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       max(struct(n_tok, doc_id)).doc_id AS largest_doc
+        |FROM (
+        |  SELECT doc_id,
+        |         graft_hash60(concat('shard:', CAST(doc_id AS STRING))) % 32 AS shard,
+        |         size(split(text, ' ')) AS n_tok
+        |  FROM documents) s
+        |GROUP BY shard""".stripMargin,
+      """SELECT shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       (max({'n_tok': n_tok, 'doc_id': doc_id})).doc_id AS largest_doc
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents) s
+        |GROUP BY shard""".stripMargin)
   )
 }

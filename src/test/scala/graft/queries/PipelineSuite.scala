@@ -41,4 +41,21 @@ class PipelineSuite extends SparkTestBase {
     assert(rows.exists(_._4 == 1.0), "no source hit the rate cap")
     assert(rows.exists(_._4 < 1.0), "every source hit the rate cap")
   }
+
+  test("p03 shard plan covers every doc once with balanced shards") {
+    val rows = PipelineQueries.defs.find(_.name == "p03_shard_plan").get
+      .fn(spark, sfDir)
+      .selectExpr("shard", "n_docs", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet.subsetOf((0L until 32L).toSet))
+    val totalDocs = rows.map(_._2).sum
+    val fixtureDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(totalDocs == fixtureDocs,
+      s"shards cover $totalDocs docs, fixture has $fixtureDocs")
+    // uniform hash: no shard should dominate (≤4x the ideal share)
+    val ideal = totalDocs.toDouble / 32
+    rows.foreach { case (shard, n, _) =>
+      assert(n <= ideal * 4, s"shard $shard has $n docs (ideal $ideal)")
+    }
+  }
 }
