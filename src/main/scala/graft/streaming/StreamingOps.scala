@@ -292,6 +292,16 @@ object StreamingOps {
       expr("graft_hash60(concat('smp:', CAST(doc_id AS STRING))) % 100")
         < ratePct)
 
+  /** Deterministic output-shard assignment — the streaming form of batch
+   *  p03: each row gets its shard from a content-independent hash of
+   *  doc_id, so replayed micro-batches, retried writers, and batch/stream
+   *  runs agree on every row's shard. A stateless map; the downstream
+   *  writer partitions by `shard` (e.g. `partitionBy("shard")` on a file
+   *  sink), which at any scale is the one shuffle the write-out needs. */
+  def shardAssign(docs: DataFrame, nShards: Int = 32): DataFrame =
+    docs.withColumn("shard",
+      expr(s"graft_hash60(concat('shard:', CAST(doc_id AS STRING))) % $nShards"))
+
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of
    *  SURVEY.md §7's roadmap). */

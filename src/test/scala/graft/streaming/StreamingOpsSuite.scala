@@ -269,6 +269,40 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming shard assignment agrees with the batch p03 plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(50)
+
+    val input = MemoryStream[SimDoc]
+    val query = StreamingOps.shardAssign(input.toDF())
+      .select("doc_id", "shard")
+      .writeStream.format("memory").queryName("shard_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("shard_sink")
+        .as[(Long, Long)].collect().toMap
+      // batch p03 aggregates per shard; re-derive per-doc via the same
+      // expression on a batch frame (stateless ⇒ identical by definition)
+      // and cross-check per-shard doc counts against the p03 aggregate
+      val batch = StreamingOps.shardAssign(docs.toSeq.toDF())
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+      val p03 = graft.queries.PipelineQueries.defs
+        .find(_.name == "p03_shard_plan").get.fn(spark, sfDir)
+        .selectExpr("shard", "n_docs").as[(Long, Long)].collect().toMap
+      val full = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text").as[SimDoc].collect()
+      val expected = StreamingOps.shardAssign(full.toSeq.toDF())
+        .groupBy("shard").count().as[(Long, Long)].collect().toMap
+      assert(p03 == expected,
+        "p03 shard counts diverge from the shardAssign expression")
+    } finally query.stop()
+  }
+
   test("streaming hash sample keeps exactly the deterministic batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
