@@ -367,6 +367,15 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       byIdentity.put(graph.units(id).plan, conds.toSeq)
     }
 
+    // Probe filters splice ABOVE barrier units (Union/Window/SetOp — the
+    // reference's placement, rpt_optimizer.cpp:112-124). The stock
+    // optimizer batches that run AFTER this preCBO rule then complete the
+    // push where provably safe: into every Union branch (key attributes
+    // remapped per child) and below a Window whose partition keys cover
+    // the probe keys — so the probe cuts rows before the union concat /
+    // window sort, and literal-bounds conds reach each branch's scan.
+    // Pinned by BarrierPlacementSuite (incl. the negative case: a window
+    // partitioned on other columns keeps the probe above it).
     def splice(p: LogicalPlan): LogicalPlan = {
       val conds = byIdentity.get(p) // look up BEFORE children are rebuilt
       val replaced = unitReplacement.get(p) // cacheBuilds substitution
