@@ -269,6 +269,41 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming curation funnel composes gate -> sample -> shard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ingest-time funnel: repetition gate, deterministic 50% sample,
+    // shard assignment — all stateless, so the composed stream must keep
+    // exactly the rows (and shards) the same composition keeps in batch
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(80)
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.shardAssign(
+        StreamingOps.hashSample(
+          StreamingOps.repetitionGate(df).where(org.apache.spark.sql
+            .functions.col("keep")),
+          org.apache.spark.sql.functions.lit(50)))
+        .select("doc_id", "shard")
+
+    val input = MemoryStream[SimDoc]
+    val query = funnel(input.toDF())
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(40): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(40): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_sink")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val batch = funnel(docs.toSeq.toDF())
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch, "composed funnel diverges from batch")
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        "funnel should keep a strict non-empty subset")
+    } finally query.stop()
+  }
+
   test("streaming shard assignment agrees with the batch p03 plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
