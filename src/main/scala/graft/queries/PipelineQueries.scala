@@ -12,7 +12,8 @@ import QueryDef._
  *
  * Stage semantics are cumulative (each stage filters the previous stage's
  * survivors), matching how a real curation run is sequenced:
- *   raw → quality (>=30 tokens) → language (en stopword vote) →
+ *   raw → quality (>=30 tokens) → repetition (t06 gate: top-word and
+ *   duplicate-2-gram fractions) → language (en stopword vote) →
  *   exact dedup (min doc_id per md5(text) among language survivors) →
  *   decontamination (no 3-gram shared with the held-out bench set, bench
  *   members themselves dropped) → deterministic per-source hash sample.
@@ -41,19 +42,41 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
 
     dialect("p01_curation_funnel",
-      s"""WITH stats AS (
-         |  SELECT doc_id,
-         |         count(*) AS n_tok,
-         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
-         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+      s"""WITH tokc AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
          |  FROM (SELECT doc_id, tok
          |        FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
-         |  GROUP BY doc_id),
+         |  GROUP BY doc_id, tok),
+         |stats AS (
+         |  SELECT doc_id,
+         |         sum(cnt) AS n_tok,
+         |         max(cnt) AS top_cnt,
+         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN cnt ELSE 0 END) AS en,
+         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN cnt ELSE 0 END) AS xx
+         |  FROM tokc GROUP BY doc_id),
+         |rep AS (
+         |  SELECT doc_id,
+         |         CASE WHEN size(grams) > 0
+         |              THEN CAST(1 AS DOUBLE)
+         |                   - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams)
+         |              ELSE CAST(0 AS DOUBLE) END AS dup2
+         |  FROM (SELECT doc_id,
+         |               zip_with(slice(toks, 1, size(toks) - 1),
+         |                        slice(toks, 2, size(toks) - 1),
+         |                        (a, b) -> concat(a, ' ', b)) AS grams
+         |        FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) w) g),
          |flags AS (
          |  SELECT d.doc_id, d.source, d.text,
          |         (s.n_tok >= 30) AS ok_q,
-         |         (s.n_tok >= 30 AND s.en >= 1 AND s.en >= s.xx) AS ok_l
-         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+         |         (s.n_tok >= 30
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
+         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)) AS ok_r,
+         |         (s.n_tok >= 30
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
+         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)
+         |            AND s.en >= 1 AND s.en >= s.xx) AS ok_l
+         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+         |  JOIN rep r ON d.doc_id = r.doc_id),
          |surv AS (
          |  SELECT min(doc_id) AS keep_id
          |  FROM flags WHERE ok_l GROUP BY md5(text)),
@@ -63,7 +86,7 @@ object PipelineQueries {
          |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
          |  WHERE s.doc_id % 41 <> 0),
          |staged AS (
-         |  SELECT f.source, f.ok_q, f.ok_l,
+         |  SELECT f.source, f.ok_q, f.ok_r, f.ok_l,
          |         (f.ok_l AND v.keep_id IS NOT NULL) AS ok_d,
          |         (f.ok_l AND v.keep_id IS NOT NULL
          |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL) AS ok_c,
@@ -77,24 +100,46 @@ object PipelineQueries {
          |SELECT source,
          |       count(*) AS n_raw,
          |       CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN ok_r THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
          |       CAST(sum(CASE WHEN ok_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
          |       CAST(sum(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
          |       CAST(sum(CASE WHEN ok_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |       CAST(sum(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM staged GROUP BY source""".stripMargin,
-      s"""WITH stats AS (
-         |  SELECT doc_id,
-         |         count(*) AS n_tok,
-         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS en,
-         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN 1 ELSE 0 END) AS xx
+      s"""WITH tokc AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |        FROM documents) e
-         |  GROUP BY doc_id),
+         |  GROUP BY doc_id, tok),
+         |stats AS (
+         |  SELECT doc_id,
+         |         sum(cnt) AS n_tok,
+         |         max(cnt) AS top_cnt,
+         |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN cnt ELSE 0 END) AS en,
+         |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN cnt ELSE 0 END) AS xx
+         |  FROM tokc GROUP BY doc_id),
+         |rep AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(grams) > 0
+         |              THEN CAST(1 AS DOUBLE)
+         |                   - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |              ELSE CAST(0 AS DOUBLE) END AS dup2
+         |  FROM (SELECT doc_id,
+         |               list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+         |                              t -> t[1] || ' ' || t[2]) AS grams
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) w) g),
          |flags AS (
          |  SELECT d.doc_id, d.source, d.text,
          |         (s.n_tok >= 30) AS ok_q,
-         |         (s.n_tok >= 30 AND s.en >= 1 AND s.en >= s.xx) AS ok_l
-         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+         |         (s.n_tok >= 30
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
+         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)) AS ok_r,
+         |         (s.n_tok >= 30
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
+         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)
+         |            AND s.en >= 1 AND s.en >= s.xx) AS ok_l
+         |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+         |  JOIN rep r ON d.doc_id = r.doc_id),
          |surv AS (
          |  SELECT min(doc_id) AS keep_id
          |  FROM flags WHERE ok_l GROUP BY md5(text)),
@@ -104,7 +149,7 @@ object PipelineQueries {
          |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
          |  WHERE s.doc_id % 41 <> 0),
          |staged AS (
-         |  SELECT f.source, f.ok_q, f.ok_l,
+         |  SELECT f.source, f.ok_q, f.ok_r, f.ok_l,
          |         (f.ok_l AND v.keep_id IS NOT NULL) AS ok_d,
          |         (f.ok_l AND v.keep_id IS NOT NULL
          |            AND f.doc_id % 41 <> 0 AND c.doc_id IS NULL) AS ok_c,
@@ -118,6 +163,7 @@ object PipelineQueries {
          |SELECT source,
          |       count(*) AS n_raw,
          |       CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN ok_r THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
          |       CAST(sum(CASE WHEN ok_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
          |       CAST(sum(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
          |       CAST(sum(CASE WHEN ok_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,

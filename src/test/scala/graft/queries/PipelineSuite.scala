@@ -13,6 +13,26 @@ class PipelineSuite extends SparkTestBase {
 
   private val budget = 20000L
 
+  test("p01 funnel stages are monotone (each stage filters the previous)") {
+    val rows = PipelineQueries.defs.find(_.name == "p01_curation_funnel").get
+      .fn(spark, sfDir)
+      .selectExpr("source", "n_raw", "n_quality", "n_rep", "n_lang",
+        "n_dedup", "n_clean", "n_sampled")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val counts = (1 to 7).map(r.getLong)
+      counts.sliding(2).foreach { case Seq(prev, next) =>
+        assert(next <= prev,
+          s"${r.getString(0)}: stage counts not monotone: $counts")
+      }
+    }
+    // the repetition stage must actually fire on the fixtures
+    val qual = rows.map(_.getLong(2)).sum
+    val rep = rows.map(_.getLong(3)).sum
+    assert(rep < qual, "repetition stage filtered nothing")
+  }
+
   test("p02 token-budget allocations respect the budget and rate bounds") {
     val rows = PipelineQueries.defs.find(_.name == "p02_token_budget").get
       .fn(spark, sfDir)
