@@ -54,29 +54,19 @@ object PipelineQueries {
          |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN cnt ELSE 0 END) AS en,
          |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN cnt ELSE 0 END) AS xx
          |  FROM tokc GROUP BY doc_id),
-         |rep AS (
-         |  SELECT doc_id,
-         |         CASE WHEN size(grams) > 0
-         |              THEN CAST(1 AS DOUBLE)
-         |                   - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams)
-         |              ELSE CAST(0 AS DOUBLE) END AS dup2
-         |  FROM (SELECT doc_id,
-         |               zip_with(slice(toks, 1, size(toks) - 1),
-         |                        slice(toks, 2, size(toks) - 1),
-         |                        (a, b) -> concat(a, ' ', b)) AS grams
-         |        FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) w) g),
+         |${TextQueries.sparkGramsRep},
          |flags AS (
          |  SELECT d.doc_id, d.source, d.text,
          |         (s.n_tok >= 30) AS ok_q,
          |         (s.n_tok >= 30
-         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
-         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)) AS ok_r,
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(${TextQueries.TopWordFracMax} AS DOUBLE)
+         |            AND r.dup_2gram_frac <= CAST(${TextQueries.DupGramFracMax} AS DOUBLE)) AS ok_r,
          |         (s.n_tok >= 30
-         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
-         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(${TextQueries.TopWordFracMax} AS DOUBLE)
+         |            AND r.dup_2gram_frac <= CAST(${TextQueries.DupGramFracMax} AS DOUBLE)
          |            AND s.en >= 1 AND s.en >= s.xx) AS ok_l
          |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
-         |  JOIN rep r ON d.doc_id = r.doc_id),
+         |  JOIN grm r ON d.doc_id = r.doc_id),
          |surv AS (
          |  SELECT min(doc_id) AS keep_id
          |  FROM flags WHERE ok_l GROUP BY md5(text)),
@@ -118,28 +108,19 @@ object PipelineQueries {
          |         sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN cnt ELSE 0 END) AS en,
          |         sum(CASE WHEN tok IN ('der', 'le', 'el', 'und', 'et', 'y') THEN cnt ELSE 0 END) AS xx
          |  FROM tokc GROUP BY doc_id),
-         |rep AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(grams) > 0
-         |              THEN CAST(1 AS DOUBLE)
-         |                   - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
-         |              ELSE CAST(0 AS DOUBLE) END AS dup2
-         |  FROM (SELECT doc_id,
-         |               list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
-         |                              t -> t[1] || ' ' || t[2]) AS grams
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) w) g),
+         |${TextQueries.duckGramsRep},
          |flags AS (
          |  SELECT d.doc_id, d.source, d.text,
          |         (s.n_tok >= 30) AS ok_q,
          |         (s.n_tok >= 30
-         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
-         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)) AS ok_r,
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(${TextQueries.TopWordFracMax} AS DOUBLE)
+         |            AND r.dup_2gram_frac <= CAST(${TextQueries.DupGramFracMax} AS DOUBLE)) AS ok_r,
          |         (s.n_tok >= 30
-         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(0.12 AS DOUBLE)
-         |            AND r.dup2 <= CAST(0.05 AS DOUBLE)
+         |            AND CAST(s.top_cnt AS DOUBLE) / s.n_tok <= CAST(${TextQueries.TopWordFracMax} AS DOUBLE)
+         |            AND r.dup_2gram_frac <= CAST(${TextQueries.DupGramFracMax} AS DOUBLE)
          |            AND s.en >= 1 AND s.en >= s.xx) AS ok_l
          |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
-         |  JOIN rep r ON d.doc_id = r.doc_id),
+         |  JOIN grm r ON d.doc_id = r.doc_id),
          |surv AS (
          |  SELECT min(doc_id) AS keep_id
          |  FROM flags WHERE ok_l GROUP BY md5(text)),

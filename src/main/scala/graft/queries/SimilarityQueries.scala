@@ -85,13 +85,18 @@ object SimilarityQueries {
       |  SELECT collect_list(struct(vec_id AS cid, v AS cv, nrm AS cnrm)) AS cs
       |  FROM e WHERE vec_id < 16)""".stripMargin
 
-  // per-vector array of (sim, cid) against all 16 centroids, in one row
-  private val sparkSimsArr =
-    """simsarr AS (
-      |  SELECT e.vec_id, transform(c.cs, x ->
+  // per-vector (sim, cid) array against all 16 centroids — ONE shared
+  // expression so s05's simsarr and s07's av can never disagree on the
+  // similarity definition (expects relations `e` and `cents c` in scope)
+  private val sparkSimArrExpr =
+    """transform(c.cs, x ->
       |           struct(graft_dot(e.v, x.cv) / (e.nrm * x.cnrm) AS sim,
-      |                  x.cid AS cid)) AS sa
-      |  FROM e CROSS JOIN cents c)""".stripMargin
+      |                  x.cid AS cid))""".stripMargin
+
+  private val sparkSimsArr =
+    s"""simsarr AS (
+       |  SELECT e.vec_id, $sparkSimArrExpr AS sa
+       |  FROM e CROSS JOIN cents c)""".stripMargin
 
   private val duckNormalized =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -103,13 +108,16 @@ object SimilarityQueries {
       |  SELECT list({'cid': vec_id, 'cv': v, 'cnrm': nrm}) AS cs
       |  FROM e WHERE vec_id < 16)""".stripMargin
 
-  private val duckSimsArr =
-    """simsarr AS (
-      |  SELECT e.vec_id, list_transform(c.cs, x ->
+  private val duckSimArrExpr =
+    """list_transform(c.cs, x ->
       |           {'sim': list_reduce(list_transform(list_zip(e.v, x.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
       |                     / (e.nrm * x.cnrm),
-      |            'cid': x.cid}) AS sa
-      |  FROM e CROSS JOIN cents c)""".stripMargin
+      |            'cid': x.cid})""".stripMargin
+
+  private val duckSimsArr =
+    s"""simsarr AS (
+       |  SELECT e.vec_id, $duckSimArrExpr AS sa
+       |  FROM e CROSS JOIN cents c)""".stripMargin
 
   private val sparkLsh = {
     def dot(p: Int) = s"graft_dot(eb.v, pl.a$p)"
@@ -236,8 +244,11 @@ object SimilarityQueries {
     // aggregate, no shuffle; ties break to the larger centroid id
     // identically on both engines), queries rank their nprobe=2 nearest
     // cells in-row too (sort by struct(-sim, cid) replicates
-    // `ORDER BY sim DESC, cid` bit-for-bit), candidates re-ranked with the
-    // exact cosine. Cell population bounds the candidate set the same way
+    // `ORDER BY sim DESC, cid` for finite sims; a zero-norm centroid's
+    // NaN cell would rank last here where the old window form ranked it
+    // first — degenerate input both engines agree on, and the s06 audit
+    // exists to flag zero vectors before search), candidates re-ranked
+    // with the exact cosine. Cell population bounds the candidate set the same way
     // LSH buckets do.
     dialect("s05_ivf_ann",
       s"""WITH e AS ($sparkNormalized),
@@ -339,9 +350,7 @@ object SimilarityQueries {
          |$sparkCents,
          |av AS (
          |  SELECT e.vec_id, e.v, e.nrm,
-         |         array_max(transform(c.cs, x ->
-         |           struct(graft_dot(e.v, x.cv) / (e.nrm * x.cnrm) AS sim,
-         |                  x.cid AS cid))).cid AS cid
+         |         array_max($sparkSimArrExpr).cid AS cid
          |  FROM e CROSS JOIN cents c),
          |dup AS (
          |  SELECT DISTINCT a.vec_id
@@ -354,10 +363,7 @@ object SimilarityQueries {
          |$duckCents,
          |av AS (
          |  SELECT e.vec_id, e.v, e.nrm,
-         |         (list_aggregate(list_transform(c.cs, x ->
-         |           {'sim': list_reduce(list_transform(list_zip(e.v, x.cv), t -> t[1] * t[2]), (acc, y) -> acc + y)
-         |                     / (e.nrm * x.cnrm),
-         |            'cid': x.cid}), 'max')).cid AS cid
+         |         (list_aggregate($duckSimArrExpr, 'max')).cid AS cid
          |  FROM e CROSS JOIN cents c),
          |dup AS (
          |  SELECT DISTINCT a.vec_id

@@ -15,6 +15,45 @@ import QueryDef._
  */
 object TextQueries {
 
+  /** Repetition-gate thresholds — the single source of truth shared by
+   *  t06, the p01 funnel's repetition stage, and the streaming
+   *  `repetitionGate` defaults (they must agree or the funnel's n_rep
+   *  stage silently desyncs from the standalone gate). Chosen inside the
+   *  fixture's observed distribution (top-word median ~0.09 / p90 ~0.14,
+   *  dup-2-gram median ~0.03 / p90 ~0.065) so both branches fire. */
+  val TopWordFracMax = 0.12
+  val DupGramFracMax = 0.05
+
+  /** Shared CTE `grm(doc_id, n_tok, dup_2gram_frac)` over `documents`:
+   *  the duplicate-2-gram fraction computed IN-ROW with array ops (no
+   *  explode — a doc carries all its grams). Used by t06 and p01. */
+  val sparkGramsRep: String =
+    """grm AS (
+      |  SELECT doc_id, n_tok,
+      |         CASE WHEN size(grams) > 0
+      |              THEN CAST(1 AS DOUBLE)
+      |                   - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams)
+      |              ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac
+      |  FROM (
+      |    SELECT doc_id, size(toks) AS n_tok,
+      |           zip_with(slice(toks, 1, size(toks) - 1),
+      |                    slice(toks, 2, size(toks) - 1),
+      |                    (a, b) -> concat(a, ' ', b)) AS grams
+      |    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) w) b)""".stripMargin
+
+  val duckGramsRep: String =
+    """grm AS (
+      |  SELECT doc_id, n_tok,
+      |         CASE WHEN len(grams) > 0
+      |              THEN CAST(1 AS DOUBLE)
+      |                   - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |              ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n_tok,
+      |           list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+      |                          t -> t[1] || ' ' || t[2]) AS grams
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) w) b)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // token counting: whitespace tokens + BPE-ish regex word extraction
@@ -153,58 +192,35 @@ object TextQueries {
     // the unique doc_id so it shuffles without skew. Ratios divide exact
     // integers, so the doubles are bit-identical across engines.
     dialect("t06_repetition",
-      """WITH base AS (
-        |  SELECT doc_id, size(toks) AS n_tok,
-        |         zip_with(slice(toks, 1, size(toks) - 1),
-        |                  slice(toks, 2, size(toks) - 1),
-        |                  (a, b) -> concat(a, ' ', b)) AS grams
-        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) w),
-        |rep AS (
-        |  SELECT doc_id, n_tok,
-        |         CASE WHEN size(grams) > 0
-        |              THEN CAST(1 AS DOUBLE)
-        |                   - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams)
-        |              ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac
-        |  FROM base),
-        |top AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
-        |    SELECT doc_id, tok, count(*) AS cnt
-        |    FROM (SELECT doc_id, tok
-        |          FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
-        |    GROUP BY doc_id, tok) c
-        |  GROUP BY doc_id)
-        |SELECT r.doc_id,
-        |       CAST(r.n_tok AS BIGINT) AS n_tok,
-        |       CAST(t.top_cnt AS DOUBLE) / r.n_tok AS top_word_frac,
-        |       r.dup_2gram_frac,
-        |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST(0.12 AS DOUBLE)
-        |        AND r.dup_2gram_frac <= CAST(0.05 AS DOUBLE)) AS keep
-        |FROM rep r JOIN top t ON r.doc_id = t.doc_id""".stripMargin,
-      """WITH base AS (
-        |  SELECT doc_id, len(toks) AS n_tok,
-        |         list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
-        |                        t -> t[1] || ' ' || t[2]) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) w),
-        |rep AS (
-        |  SELECT doc_id, n_tok,
-        |         CASE WHEN len(grams) > 0
-        |              THEN CAST(1 AS DOUBLE)
-        |                   - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
-        |              ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac
-        |  FROM base),
-        |top AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
-        |    SELECT doc_id, tok, count(*) AS cnt
-        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |          FROM documents) e
-        |    GROUP BY doc_id, tok) c
-        |  GROUP BY doc_id)
-        |SELECT r.doc_id,
-        |       CAST(r.n_tok AS BIGINT) AS n_tok,
-        |       CAST(t.top_cnt AS DOUBLE) / r.n_tok AS top_word_frac,
-        |       r.dup_2gram_frac,
-        |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST(0.12 AS DOUBLE)
-        |        AND r.dup_2gram_frac <= CAST(0.05 AS DOUBLE)) AS keep
-        |FROM rep r JOIN top t ON r.doc_id = t.doc_id""".stripMargin)
+      s"""WITH $sparkGramsRep,
+         |top AS (
+         |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+         |    SELECT doc_id, tok, count(*) AS cnt
+         |    FROM (SELECT doc_id, tok
+         |          FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok) e
+         |    GROUP BY doc_id, tok) c
+         |  GROUP BY doc_id)
+         |SELECT r.doc_id,
+         |       CAST(r.n_tok AS BIGINT) AS n_tok,
+         |       CAST(t.top_cnt AS DOUBLE) / r.n_tok AS top_word_frac,
+         |       r.dup_2gram_frac,
+         |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST($TopWordFracMax AS DOUBLE)
+         |        AND r.dup_2gram_frac <= CAST($DupGramFracMax AS DOUBLE)) AS keep
+         |FROM grm r JOIN top t ON r.doc_id = t.doc_id""".stripMargin,
+      s"""WITH $duckGramsRep,
+         |top AS (
+         |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+         |    SELECT doc_id, tok, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |          FROM documents) e
+         |    GROUP BY doc_id, tok) c
+         |  GROUP BY doc_id)
+         |SELECT r.doc_id,
+         |       CAST(r.n_tok AS BIGINT) AS n_tok,
+         |       CAST(t.top_cnt AS DOUBLE) / r.n_tok AS top_word_frac,
+         |       r.dup_2gram_frac,
+         |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST($TopWordFracMax AS DOUBLE)
+         |        AND r.dup_2gram_frac <= CAST($DupGramFracMax AS DOUBLE)) AS keep
+         |FROM grm r JOIN top t ON r.doc_id = t.doc_id""".stripMargin)
   )
 }

@@ -253,22 +253,32 @@ object StreamingOps {
    *  document carries all its tokens, so BOTH metrics compute inside the
    *  row (the batch shape needs an explode + (doc_id, tok) aggregate for
    *  the top-word count; a stream trades that shuffle for an in-row
-   *  distinct-scan — bounded by tokens/doc, so still ingest-rate): no
-   *  state, no watermark, no shuffle. Fractions divide the same exact
-   *  integers as the batch query, so the doubles are bit-identical. */
+   *  sort + run-length max — O(n log n) in tokens/doc): no state, no
+   *  watermark, no shuffle. Fractions divide the same exact integers as
+   *  the batch query, so the doubles are bit-identical. Default
+   *  thresholds are the t06 gate's (graft.queries.TextQueries). */
   def repetitionGate(
       docs: DataFrame,
-      maxTopWordFrac: Double = 0.12,
-      maxDup2GramFrac: Double = 0.05): DataFrame =
+      maxTopWordFrac: Double = graft.queries.TextQueries.TopWordFracMax,
+      maxDup2GramFrac: Double = graft.queries.TextQueries.DupGramFracMax)
+      : DataFrame =
     docs
       .withColumn("graft_toks", split(col("text"), " "))
       .withColumn("graft_grams", expr(
         """zip_with(slice(graft_toks, 1, size(graft_toks) - 1),
           |         slice(graft_toks, 2, size(graft_toks) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      // top count = longest equal-run of the sorted token array (exactly
+      // the (doc_id, tok) count max of batch t06, without the quadratic
+      // distinct × filter scan)
       .withColumn("top_word_frac", expr(
-        """CAST(array_max(transform(array_distinct(graft_toks),
-          |  t -> size(filter(graft_toks, x -> x = t)))) AS DOUBLE)
+        """CAST(aggregate(array_sort(graft_toks),
+          |  struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
+          |  (acc, t) -> struct(t AS prev,
+          |    CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END AS run,
+          |    greatest(acc.best,
+          |      CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END) AS best),
+          |  acc -> acc.best) AS DOUBLE)
           |  / size(graft_toks)""".stripMargin))
       .withColumn("dup_2gram_frac", expr(
         """CASE WHEN size(graft_grams) > 0
