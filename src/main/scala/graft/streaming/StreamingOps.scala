@@ -302,6 +302,30 @@ object StreamingOps {
       expr("graft_hash60(concat('smp:', CAST(doc_id AS STRING))) % 100")
         < ratePct)
 
+  /** Streaming IVF cell assignment — the ingest-time form of the s05/s07
+   *  coarse quantizer: each arriving embedding is routed to its best cell
+   *  by an in-row argmax against a STATIC broadcast centroid array (the
+   *  stream-static analog of the batch `cents` one-row relation). A
+   *  stateless map — the op that routes vectors to ANN shards / SemDeDup
+   *  blocks at ingest rate. `centroids` must carry (cid, cv) with cv
+   *  already cast to double; ties break to the larger cid exactly like
+   *  the batch argmax. Input needs (vec_id, embedding). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cid"), col("cv"),
+        expr("sqrt(graft_dot(cv, cv))").as("cnrm"))
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cs"))
+    vecs
+      .withColumn("graft_v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("graft_nrm", expr("sqrt(graft_dot(graft_v, graft_v))"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cid", expr(
+        """array_max(transform(cs, x ->
+          |  struct(graft_dot(graft_v, x.cv) / (graft_nrm * x.cnrm) AS sim,
+          |         x.cid AS cid))).cid""".stripMargin))
+      .drop("graft_v", "graft_nrm", "cs")
+  }
+
   /** Deterministic output-shard assignment — the streaming form of batch
    *  p03: each row gets its shard from a content-independent hash of
    *  doc_id, so replayed micro-batches, retried writers, and batch/stream

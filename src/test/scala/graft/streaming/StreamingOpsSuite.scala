@@ -269,6 +269,39 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming IVF assignment matches the batch s07 cell grouping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // centroids exactly as the batch quantizer defines them
+    val centroids = emb.where($"vec_id" < 16)
+      .selectExpr("vec_id AS cid", "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+    val batchCells = graft.queries.SimilarityQueries.defs
+      .find(_.name == "s07_semdedup").get.fn(spark, sfDir)
+      .selectExpr("vec_id", "cid")
+      .as[(Long, Long)].collect().toMap
+
+    val rows = emb.selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().take(60)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = StreamingOps.ivfAssign(
+        input.toDF().toDF("vec_id", "embedding"), centroids)
+      .select("vec_id", "cid")
+      .writeStream.format("memory").queryName("ivf_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ivf_sink")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (id, cid) =>
+        assert(batchCells(id) == cid,
+          s"vec $id routed to cell $cid, batch assigns ${batchCells(id)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming curation funnel composes gate -> sample -> shard") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
