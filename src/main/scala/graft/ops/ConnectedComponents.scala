@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, expr, greatest, least, lit, min}
+
+/**
+ * Distributed connected components via alternating large-star / small-star
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+ *
+ * This is the transitive-closure step a dedup pipeline needs on top of the
+ * pair generators (d03/d04/d06 emit near-duplicate PAIRS; a duplicate
+ * CLUSTER is a connected component of that pair graph — A~B and B~C must
+ * collapse A, B, C to one representative even when A and C share no band).
+ *
+ * Scale shape — every step is a groupBy-MIN plus an equi-join:
+ *   large-star(u): m = min(N(u) ∪ {u}); re-point every neighbor v > u at m
+ *   small-star(u): over canonical edges (u > v): m = min(N(u)); re-point
+ *                  every smaller neighbor (and u itself) at m
+ * Neither pass materializes an adjacency LIST (no collect_set — a
+ * high-degree star root at 100 TB would OOM a single task); the min is a
+ * map-side-combinable aggregate and the re-pointing is a shuffle join on
+ * the node id. Rounds converge in O(log n) (proven in the paper); each
+ * round is 2 shuffles + an O(1)-row convergence check.
+ *
+ * Reference analog: none — the reference engine has no graph operator;
+ * this extends the dedup family (SURVEY.md §2.3) to cluster granularity.
+ */
+object ConnectedComponents {
+
+  /** Star-contract one side. Input must be self-loop-free and non-empty on
+    * call sites that require progress; output is canonicalized (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    // symmetrize so every node sees its full neighborhood
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min over N(u) ∪ {u} — aggregate, never a list
+    val m = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // canonical direction: u = larger endpoint, v = smaller
+    val can = e.select(greatest(col("u"), col("v")).as("u"),
+                       least(col("u"), col("v")).as("v"))
+    val m = can.groupBy("u").agg(min(col("v")).as("m")) // m < u always
+    val repointed = can.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val selfEdge = m.select(col("u"), col("m").as("v"))
+    repointed.union(selfEdge)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** O(1)-row fingerprint of a canonicalized edge set: (count, xor of a
+    * 64-bit hash of each edge — order-independent, overflow-free under
+    * ANSI). Equal fingerprints across a round ⇒ converged (collision odds
+    * are negligible and a false "converged" can only happen after the
+    * edge set stopped shrinking). */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val row = e.select(
+      greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
+      .distinct()
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /**
+   * Component labels for an undirected edge list.
+   *
+   * @param edges  pair DataFrame; self-loops and duplicates tolerated
+   * @param srcCol,dstCol  node-id columns (integral types)
+   * @return (node_id, rep_id) for every node incident to ≥1 edge, where
+   *         rep_id = smallest node id in the node's component
+   */
+  def labels(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 32): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+    var prev = fingerprint(e)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      // checkpoint-by-materialization: each round's plan would otherwise
+      // nest the previous round's (lineage grows exponentially with joins)
+      e = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val cur = fingerprint(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+
+    // after convergence the edge set is a union of stars rooted at each
+    // component minimum: every edge is (member, root)
+    val members = e.select(greatest(col("u"), col("v")).as("node_id"),
+                           least(col("u"), col("v")).as("rep_id"))
+    val roots = members.select(col("rep_id").as("node_id"), col("rep_id")).distinct()
+    members.union(roots).distinct()
+  }
+}
