@@ -76,6 +76,63 @@ object DedupQueries {
   private val simhashSum = (0 until 48).map(j =>
     s"(CASE WHEN bal$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  // d04's pipeline as reusable CTE fragments (d04 itself, d08's cluster
+  // closure, and p04's leakage-safe split all build on the same pair graph)
+  private[queries] val sparkMinhashCtes: String =
+    s"""sh AS ($sparkShingles),
+       |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
+       |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.band, b.sig FROM hs
+       |  LATERAL VIEW explode(array(
+       |    struct(0 AS band, concat(mh0, ':', mh1) AS sig),
+       |    struct(1 AS band, concat(mh2, ':', mh3) AS sig),
+       |    struct(2 AS band, concat(mh4, ':', mh5) AS sig),
+       |    struct(3 AS band, concat(mh6, ':', mh7) AS sig))) t AS b)""".stripMargin
+
+  private[queries] val duckMinhashCtes: String =
+    s"""sh AS ($duckShingles),
+       |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
+       |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+       |ub AS (
+       |  SELECT doc_id, unnest([
+       |    {'band': 0, 'sig': CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)},
+       |    {'band': 1, 'sig': CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)},
+       |    {'band': 2, 'sig': CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR)},
+       |    {'band': 3, 'sig': CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR)}]) AS u
+       |  FROM hs),
+       |bands AS (SELECT doc_id, u.band AS band, u.sig AS sig FROM ub)""".stripMargin
+
+  // identical text in both dialects
+  private[queries] val minhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+
+  /** The d04 near-dup pair graph as a DataFrame (input to d08/p04). */
+  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.sql(s"WITH $sparkMinhashCtes\n$minhashPairsSelect")
+
+  /** DuckDB-side transitive closure of the pair graph: (doc_id, rep_id)
+    * with rep = component minimum — the oracle for the distributed
+    * large-star/small-star in graft.ops.ConnectedComponents. Exponential
+    * in nothing but fine at oracle scale; the Spark side is the one that
+    * has to survive 100 TB. */
+  private[queries] val duckClusterLabels: String =
+    s"""WITH RECURSIVE $duckMinhashCtes,
+       |pairs AS ($minhashPairsSelect),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION
+       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+       |          WHERE e.d <> r.s),
+       |labels AS (
+       |  SELECT CAST(s AS BIGINT) AS doc_id,
+       |         CAST(least(s, min(d)) AS BIGINT) AS rep_id
+       |  FROM reach GROUP BY s)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: group-size histogram of identical texts
@@ -151,33 +208,8 @@ object DedupQueries {
     // row explosion, one shuffle (at 100 TB the explode variant shuffles
     // 8x the rows; this shape shuffles each doc once).
     dialect("d04_minhash_lsh",
-      s"""WITH sh AS ($sparkShingles),
-         |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
-         |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b.band, b.sig FROM hs
-         |  LATERAL VIEW explode(array(
-         |    struct(0 AS band, concat(mh0, ':', mh1) AS sig),
-         |    struct(1 AS band, concat(mh2, ':', mh3) AS sig),
-         |    struct(2 AS band, concat(mh4, ':', mh5) AS sig),
-         |    struct(3 AS band, concat(mh6, ':', mh7) AS sig))) t AS b)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
-      s"""WITH sh AS ($duckShingles),
-         |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
-         |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
-         |ub AS (
-         |  SELECT doc_id, unnest([
-         |    {'band': 0, 'sig': CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)},
-         |    {'band': 1, 'sig': CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)},
-         |    {'band': 2, 'sig': CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR)},
-         |    {'band': 3, 'sig': CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR)}]) AS u
-         |  FROM hs),
-         |bands AS (SELECT doc_id, u.band AS band, u.sig AS sig FROM ub)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
+      s"WITH $sparkMinhashCtes\n$minhashPairsSelect",
+      s"WITH $duckMinhashCtes\n$minhashPairsSelect"),
 
     // SimHash: 48-bit locality-sensitive fingerprint per document. The 48
     // bit balances are wide aggregate columns of ONE GROUP BY doc_id —
@@ -271,6 +303,26 @@ object DedupQueries {
          |SELECT s.doc_id, count(*) AS n_shared
          |FROM sh s JOIN bench b ON s.h = b.h
          |WHERE s.doc_id % 41 <> 0
-         |GROUP BY s.doc_id""".stripMargin)
+         |GROUP BY s.doc_id""".stripMargin),
+
+    // transitive duplicate CLUSTERS over the d04 pair graph: A~B and B~C
+    // must collapse {A,B,C} to one representative even when A and C share
+    // no LSH band — the step d04 (pairs) and d06 (1-hop band-mate reps)
+    // stop short of. Spark side: alternating large-star/small-star
+    // connected components (graft.ops.ConnectedComponents — groupBy-min +
+    // equi-join per round, O(log n) rounds, no adjacency lists), the shape
+    // that survives a 100 TB pair graph. Oracle side: DuckDB recursive-CTE
+    // transitive closure — exact, viable only at oracle scale. Output: one
+    // row per doc incident to >= 1 near-dup pair, labeled with its
+    // component-minimum representative.
+    QueryDef("d08_dup_clusters",
+      (spark, sfDir) => {
+        views(spark, sfDir)
+        graft.ops.ConnectedComponents
+          .labels(minhashPairs(spark), "doc_a", "doc_b")
+          .selectExpr("node_id AS doc_id", "rep_id")
+      },
+      Some(s"""$duckClusterLabels
+         |SELECT doc_id, rep_id FROM labels""".stripMargin))
   )
 }

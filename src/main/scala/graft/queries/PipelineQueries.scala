@@ -232,6 +232,55 @@ object PipelineQueries {
         |         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS shard,
         |         len(string_split(text, ' ')) AS n_tok
         |  FROM documents) s
-        |GROUP BY shard""".stripMargin)
+        |GROUP BY shard""".stripMargin),
+
+    // leakage-safe train/val/test split: the split key is the NEAR-DUP
+    // CLUSTER representative (d08's connected components over the minhash
+    // pair graph), not the document — a doc-keyed split leaks near-
+    // duplicate pairs across the train/eval boundary, the classic
+    // contamination bug in training-data pipelines. Unclustered docs are
+    // their own group. Assignment is a deterministic hash of the group id
+    // (stable across engines, retries, and reruns); 8/1/1 buckets. Scale
+    // shape: CC rounds + one broadcast-sized label join (labels cover only
+    // docs with >= 1 near-dup pair, a small fraction of any real corpus)
+    // + a 3-group aggregate. The invariant — no cluster spans splits — is
+    // structural: every member hashes the same group id.
+    QueryDef("p04_leakage_split",
+      (spark, sfDir) => {
+        QueryDef.views(spark, sfDir)
+        val labels = graft.ops.ConnectedComponents
+          .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
+          .selectExpr("node_id AS doc_id", "rep_id")
+        spark.table("documents")
+          .join(labels, Seq("doc_id"), "left")
+          .selectExpr(
+            "coalesce(rep_id, CAST(doc_id AS BIGINT)) AS grp",
+            "rep_id")
+          .selectExpr(
+            """CASE WHEN graft_hash60(concat('split:', CAST(grp AS STRING))) % 10 < 8 THEN 'train'
+              |     WHEN graft_hash60(concat('split:', CAST(grp AS STRING))) % 10 = 8 THEN 'val'
+              |     ELSE 'test' END AS split""".stripMargin,
+            "grp", "rep_id")
+          .groupBy("split")
+          .agg(org.apache.spark.sql.functions.expr("count(*)").as("n_docs"),
+            org.apache.spark.sql.functions.expr("count(DISTINCT grp)").as("n_groups"),
+            org.apache.spark.sql.functions
+              .expr("CAST(sum(CASE WHEN rep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)")
+              .as("n_clustered"))
+      },
+      Some(s"""${DedupQueries.duckClusterLabels},
+         |asg AS (
+         |  SELECT coalesce(l.rep_id, CAST(d.doc_id AS BIGINT)) AS grp, l.rep_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT CASE WHEN h % 10 < 8 THEN 'train'
+         |            WHEN h % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT grp) AS n_groups,
+         |       CAST(sum(CASE WHEN rep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered
+         |FROM (SELECT grp, rep_id,
+         |             CAST('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |      FROM asg)
+         |GROUP BY 1""".stripMargin))
   )
 }

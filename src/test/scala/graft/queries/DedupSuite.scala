@@ -45,4 +45,26 @@ class DedupSuite extends SparkTestBase {
       fixtureDocs.createOrReplaceTempView("documents")
     }
   }
+
+  test("d08 labels are the transitive closure of the d04 pair graph") {
+    val pairs = DedupQueries.minhashPairs(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "fixture produced no minhash pairs")
+    val labels = DedupQueries.defs.find(_.name == "d08_dup_clusters").get
+      .fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // every doc incident to a pair is labeled, and only those
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every pair share a representative (1-hop closure)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is the smallest member of its cluster (so it is
+    // a member, and clusters are canonically named)
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep,
+        s"cluster $rep: min member ${members.keys.min} != rep")
+    }
+  }
 }

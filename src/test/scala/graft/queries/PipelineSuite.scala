@@ -78,4 +78,36 @@ class PipelineSuite extends SparkTestBase {
       assert(n <= ideal * 4, s"shard $shard has $n docs (ideal $ideal)")
     }
   }
+
+  test("p04 split covers the corpus and no near-dup pair spans splits") {
+    val out = PipelineQueries.defs.find(_.name == "p04_leakage_split").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fixtureDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.map(_._2).sum == fixtureDocs, "splits must partition the corpus")
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.find(_._1 == "train").exists(_._2 > out.map(_._2).sum / 2),
+      "train must hold the majority under the 8/1/1 hash split")
+
+    // leakage audit: both endpoints of every d04 near-dup pair must land
+    // in the SAME split — recompute the per-doc assignment the way p04
+    // derives it and check against the raw pair list
+    val labels = graft.ops.ConnectedComponents
+      .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
+      .selectExpr("node_id AS doc_id", "rep_id")
+    labels.createOrReplaceTempView("p04_labels")
+    DedupQueries.minhashPairs(spark).createOrReplaceTempView("p04_pairs")
+    val spanning = spark.sql(
+      """WITH asg AS (
+        |  SELECT d.doc_id,
+        |         graft_hash60(concat('split:',
+        |           CAST(coalesce(l.rep_id, CAST(d.doc_id AS BIGINT)) AS STRING))) % 10 AS b
+        |  FROM documents d LEFT JOIN p04_labels l ON d.doc_id = l.doc_id)
+        |SELECT count(*) FROM p04_pairs p
+        |JOIN asg a ON a.doc_id = p.doc_a
+        |JOIN asg b ON b.doc_id = p.doc_b
+        |WHERE a.b <> b.b""".stripMargin)
+    assert(spanning.collect()(0).getLong(0) == 0L,
+      "a near-dup pair crossed the split boundary — leakage")
+  }
 }
