@@ -79,10 +79,15 @@ object ConnectedComponents {
    */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 32): DataFrame = {
+    // materialize the input edge set ONCE: the upstream pair generator is
+    // typically the expensive part (an LSH pipeline), and without this the
+    // initial fingerprint plus round 1's two star passes would each
+    // recompute it from scratch
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(eager = true)
 
     var prev = fingerprint(e)
     var round = 0
