@@ -109,6 +109,35 @@ object DedupQueries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
+  // d06's SimHash banding pipeline as reusable CTE fragments (`bands` =
+  // (doc_id, sh fingerprint, band index b, 12-bit band value bv)); shared
+  // by d06's Hamming recheck and d09's edit-distance recheck
+  private[queries] val sparkSimhashBandCtes: String =
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, tok
+       |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
+       |th AS (SELECT doc_id, ${sparkHash60.format("tok")} AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, ${simhashBals(j => s"shiftright(h, $j)")}
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
+       |bands AS (
+       |  SELECT doc_id, sh, b, shiftright(sh, b * 12) & 4095 AS bv
+       |  FROM fp LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b)""".stripMargin
+
+  private[queries] val duckSimhashBandCtes: String =
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${duckHash60.format("tok")} AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, ${simhashBals(j => s"(h >> $j)")}
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
+       |bands AS (
+       |  SELECT doc_id, sh, b, (sh >> (b * 12)) & 4095 AS bv
+       |  FROM fp, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
+
   /** The d04 near-dup pair graph as a DataFrame (input to d08/p04). */
   private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame =
@@ -247,17 +276,7 @@ object DedupQueries {
     // materialized (a near-dup cluster of k docs would emit k^2 pairs;
     // measured 3M pairs on the sf0.1 corpus before this shape).
     dialect("d06_simhash_neardup",
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, tok
-         |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
-         |th AS (SELECT doc_id, ${sparkHash60.format("tok")} AS h FROM toks),
-         |bits AS (
-         |  SELECT doc_id, ${simhashBals(j => s"shiftright(h, $j)")}
-         |  FROM th GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
-         |bands AS (
-         |  SELECT doc_id, sh, b, shiftright(sh, b * 12) & 4095 AS bv
-         |  FROM fp LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b)
+      s"""WITH $sparkSimhashBandCtes
          |SELECT a.doc_id,
          |       least(a.doc_id, coalesce(min(
          |         CASE WHEN bit_count(a.sh ^ c.sh) <= 8 THEN c.doc_id END),
@@ -265,17 +284,7 @@ object DedupQueries {
          |FROM bands a LEFT JOIN bands c
          |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
          |GROUP BY a.doc_id""".stripMargin,
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, ${duckHash60.format("tok")} AS h FROM toks),
-         |bits AS (
-         |  SELECT doc_id, ${simhashBals(j => s"(h >> $j)")}
-         |  FROM th GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($simhashSum AS BIGINT) AS sh FROM bits),
-         |bands AS (
-         |  SELECT doc_id, sh, b, (sh >> (b * 12)) & 4095 AS bv
-         |  FROM fp, unnest([0, 1, 2, 3]) AS u(b))
+      s"""WITH $duckSimhashBandCtes
          |SELECT a.doc_id,
          |       least(a.doc_id, coalesce(min(
          |         CASE WHEN bit_count(CAST(xor(a.sh, c.sh) AS BIGINT)) <= 8 THEN c.doc_id END),
@@ -323,6 +332,41 @@ object DedupQueries {
           .selectExpr("node_id AS doc_id", "rep_id")
       },
       Some(s"""$duckClusterLabels
-         |SELECT doc_id, rep_id FROM labels""".stripMargin))
+         |SELECT doc_id, rep_id FROM labels""".stripMargin)),
+
+    // edit-distance near-dup: the cheap-filter → expensive-verifier
+    // composition that every fuzzy-dedup pipeline at scale reduces to.
+    // Candidates come from the d06 SimHash bands (equi-join on a 12-bit
+    // band value — never all-pairs); only candidate pairs pay the O(n*m)
+    // levenshtein DP, and the relative threshold (dist <= 20% of the
+    // longer text) makes the verdict length-scale-free. At 100 TB the
+    // verifier cost is bounded by the band collision count, which the
+    // banding keeps near-linear in true near-dups. Both engines evaluate
+    // levenshtein on characters with identical semantics.
+    dialect("d09_editdist_neardup",
+      s"""WITH $sparkSimhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = cand.doc_a
+         |JOIN documents tb ON tb.doc_id = cand.doc_b
+         |WHERE levenshtein(ta.text, tb.text) * 5
+         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin,
+      s"""WITH $duckSimhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = cand.doc_a
+         |JOIN documents tb ON tb.doc_id = cand.doc_b
+         |WHERE levenshtein(ta.text, tb.text) * 5
+         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin)
   )
 }
