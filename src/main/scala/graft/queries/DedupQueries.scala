@@ -59,7 +59,7 @@ object DedupQueries {
   // 8 fixed universal-hash (a, b) pairs for the MinHash permutations:
   // odd multipliers < 2^26 so a * hb < 2^56 stays overflow-safe in both
   // engines' BIGINT arithmetic
-  private val minhashAB = Seq(
+  private[graft] val minhashAB = Seq(
     (12582917L, 29123L), (23456789L, 399491L), (14348907L, 735632L),
     (28629151L, 104729L), (17895697L, 999331L), (21233231L, 77611L),
     (19487171L, 555557L), (25357351L, 11939L))
@@ -78,7 +78,7 @@ object DedupQueries {
 
   // d04's pipeline as reusable CTE fragments (d04 itself, d08's cluster
   // closure, and p04's leakage-safe split all build on the same pair graph)
-  private[queries] val sparkMinhashCtes: String =
+  private[graft] val sparkMinhashCtes: String =
     s"""sh AS ($sparkShingles),
        |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
        |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
@@ -104,7 +104,7 @@ object DedupQueries {
        |bands AS (SELECT doc_id, u.band AS band, u.sig AS sig FROM ub)""".stripMargin
 
   // identical text in both dialects
-  private[queries] val minhashPairsSelect: String =
+  private[graft] val minhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin

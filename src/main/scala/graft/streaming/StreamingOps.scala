@@ -336,6 +336,57 @@ object StreamingOps {
     docs.withColumn("shard",
       expr(s"graft_hash60(concat('shard:', CAST(doc_id AS STRING))) % $nShards"))
 
+  /** Stateless in-row MinHash band signatures — the streaming form of the
+   *  batch d04 pipeline, bit-identical on the same rows. The batch shape
+   *  aggregates (doc, shingle-hash) rows across a shuffle; a stream
+   *  computes all 8 permutation minima inside ONE row (array_min over the
+   *  in-row distinct shingle-hash set) and emits the 4 (band, sig) keys as
+   *  a bounded explode — a pure map, no state, no shuffle. Constants and
+   *  sig rendering are shared with batch d04 (DedupQueries.minhashAB), so
+   *  stream and corpus band keys join exactly. Docs with <3 tokens carry
+   *  no shingles and drop out, exactly like the batch CTE. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("graft_w", split(col("text"), " "))
+      .where(size(col("graft_w")) >= 3)
+      .withColumn("graft_hb", expr(
+        """transform(array_distinct(transform(sequence(1, size(graft_w) - 2),
+          |  i -> graft_hash60(concat_ws(' ', slice(graft_w, i, 3))))),
+          |  h -> h % 1073741789)""".stripMargin))
+    val withMins = graft.queries.DedupQueries.minhashAB.zipWithIndex
+      .foldLeft(base) { case (df, ((a, b), i)) =>
+        df.withColumn(s"graft_mh$i",
+          expr(s"array_min(transform(graft_hb, x -> (x * $a + $b) % 1073741789))"))
+      }
+    withMins
+      .select(col("doc_id"), expr(
+        """explode(array(
+          |  struct(0 AS band, concat(graft_mh0, ':', graft_mh1) AS sig),
+          |  struct(1 AS band, concat(graft_mh2, ':', graft_mh3) AS sig),
+          |  struct(2 AS band, concat(graft_mh4, ':', graft_mh5) AS sig),
+          |  struct(3 AS band, concat(graft_mh6, ':', graft_mh7) AS sig)))"""
+          .stripMargin).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.sig"))
+  }
+
+  /** Ingest-time duplicate-CLUSTER assignment — the streaming analog of
+   *  batch d08: each arriving document's in-row minhash band keys probe a
+   *  STATIC corpus band table labeled with d08's connected-component
+   *  representatives, so a new document joins an existing duplicate
+   *  cluster the moment it arrives (stream-static equi-join, stateless;
+   *  no CC iteration on the hot path — the closure is precomputed batch-
+   *  side and refreshed on whatever cadence the corpus re-clusters).
+   *  Emits one (probe_id, rep_id) row per agreeing (band, sig) corpus
+   *  match; representative election (min rep) stays downstream, keeping
+   *  the operator state-free like [[neardupProbe]]. `corpusBands` must
+   *  carry (band, sig, rep_id) — [[minhashBands]] of the corpus joined to
+   *  its d08 labels. */
+  def clusterAssign(stream: DataFrame, corpusBands: DataFrame): DataFrame =
+    minhashBands(stream)
+      .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
+      .join(corpusBands, Seq("band", "sig"))
+      .select(col("probe_id"), col("rep_id"))
+
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of
    *  SURVEY.md §7's roadmap). */

@@ -201,6 +201,65 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming minhash bands are bit-identical to the batch d04 bands") {
+    import spark.implicits._
+    // the SAME 60 fixture docs through the in-row (stream-shaped) path and
+    // the batch aggregate CTE — band keys must agree exactly or stream-
+    // static cluster joins silently miss
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[SimDoc].collect().take(60)
+    val batch = spark.sql(
+      s"WITH ${graft.queries.DedupQueries.sparkMinhashCtes}\n" +
+        "SELECT doc_id, band, sig FROM bands")
+      .where($"doc_id".isin(docs.map(_.doc_id): _*))
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val inRow = StreamingOps.minhashBands(docs.toSeq.toDF())
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(inRow == batch,
+      s"in-row minhash bands diverge from batch d04 " +
+        s"(first mismatch: ${inRow.zip(batch).find(p => p._1 != p._2)})")
+  }
+
+  test("streaming cluster assignment routes arrivals to batch d08 clusters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: d08 labels over the fixture corpus + corpus band table
+    val labels = graft.queries.DedupQueries.defs
+      .find(_.name == "d08_dup_clusters").get.fn(spark, sfDir)
+      .selectExpr("doc_id", "rep_id")
+    val labelMap = labels.as[(Long, Long)].collect().toMap
+    assert(labelMap.nonEmpty, "fixture corpus has no duplicate clusters")
+    val corpusDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpusBands = StreamingOps.minhashBands(corpusDocs)
+      .join(labels, Seq("doc_id"))
+      .select($"band", $"sig", $"rep_id")
+
+    // stream side: re-ingest 3 clustered docs (shifted ids so they read as
+    // new arrivals) and one unrelated text
+    val members = labelMap.keys.toSeq.sorted.take(3)
+    val texts = corpusDocs.where($"doc_id".isin(members: _*))
+      .as[SimDoc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[SimDoc]
+    val assigned = StreamingOps.clusterAssign(input.toDF(), corpusBands)
+    val query = assigned.writeStream.format("memory")
+      .queryName("cluster_sink").outputMode("append").start()
+    try {
+      input.addData(texts.map(d => SimDoc(d.doc_id + 1000000L, d.text)): _*)
+      input.addData(SimDoc(9999999L, "zz yy xx unrelated ww vv uu tt ss rr"))
+      query.processAllAvailable()
+      val got = spark.table("cluster_sink")
+        .groupBy("probe_id").agg(org.apache.spark.sql.functions.min("rep_id"))
+        .as[(Long, Long)].collect().toMap
+      texts.foreach { d =>
+        assert(got.get(d.doc_id + 1000000L).contains(labelMap(d.doc_id)),
+          s"arrival ${d.doc_id} not routed to its batch cluster " +
+            s"${labelMap(d.doc_id)} (got ${got.get(d.doc_id + 1000000L)})")
+      }
+      assert(!got.contains(9999999L), "unrelated text matched a cluster")
+    } finally query.stop()
+  }
+
   test("streaming decontamination probe matches batch d07 shingle overlap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
