@@ -25,23 +25,25 @@ object DedupQueries {
   // strings (the strings exist only partition-locally, pre-hash).
   // Docs with <3 tokens produce no shingles (guarded explicitly: Spark's
   // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
-  private[queries] val sparkShingles =
-    """SELECT DISTINCT doc_id,
-      |       graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
-      |FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
-      |      WHERE size(split(text, ' ')) >= 3) d
-      |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
+  private[queries] def sparkShinglesFrom(rel: String): String =
+    s"""SELECT DISTINCT doc_id,
+       |       graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
+       |FROM (SELECT doc_id, split(text, ' ') AS w FROM $rel
+       |      WHERE size(split(text, ' ')) >= 3) d
+       |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
+  private[queries] val sparkShingles = sparkShinglesFrom("documents")
 
   // unnest(range(...)) instead of lateral generate_series (DuckDB's binder
   // rejects lateral column refs in table functions); range(1, n+1) is empty
   // for n <= 0, so short docs drop out naturally
-  private[queries] val duckShingles =
-    """SELECT DISTINCT doc_id,
-      |       CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15) AS BIGINT) AS h
-      |FROM (SELECT doc_id, w,
-      |             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS w
-      |            FROM documents))""".stripMargin
+  private[queries] def duckShinglesFrom(rel: String): String =
+    s"""SELECT DISTINCT doc_id,
+       |       CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15) AS BIGINT) AS h
+       |FROM (SELECT doc_id, w,
+       |             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM $rel))""".stripMargin
+  private[queries] val duckShingles = duckShinglesFrom("documents")
 
   // graft_hash60 = codegen'd md5-prefix (graft.functions.Hash60),
   // bit-identical to the portable conv(substr(md5)) form duckHash60 uses
@@ -78,8 +80,8 @@ object DedupQueries {
 
   // d04's pipeline as reusable CTE fragments (d04 itself, d08's cluster
   // closure, and p04's leakage-safe split all build on the same pair graph)
-  private[graft] val sparkMinhashCtes: String =
-    s"""sh AS ($sparkShingles),
+  private[graft] def sparkMinhashCtesFrom(rel: String): String =
+    s"""sh AS (${sparkShinglesFrom(rel)}),
        |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
        |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
        |bands AS (
@@ -89,9 +91,10 @@ object DedupQueries {
        |    struct(1 AS band, concat(mh2, ':', mh3) AS sig),
        |    struct(2 AS band, concat(mh4, ':', mh5) AS sig),
        |    struct(3 AS band, concat(mh6, ':', mh7) AS sig))) t AS b)""".stripMargin
+  private[graft] val sparkMinhashCtes: String = sparkMinhashCtesFrom("documents")
 
-  private[queries] val duckMinhashCtes: String =
-    s"""sh AS ($duckShingles),
+  private[queries] def duckMinhashCtesFrom(rel: String): String =
+    s"""sh AS (${duckShinglesFrom(rel)}),
        |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
        |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
        |ub AS (
@@ -102,6 +105,7 @@ object DedupQueries {
        |    {'band': 3, 'sig': CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR)}]) AS u
        |  FROM hs),
        |bands AS (SELECT doc_id, u.band AS band, u.sig AS sig FROM ub)""".stripMargin
+  private[queries] val duckMinhashCtes: String = duckMinhashCtesFrom("documents")
 
   // identical text in both dialects
   private[graft] val minhashPairsSelect: String =
@@ -335,37 +339,43 @@ object DedupQueries {
          |SELECT doc_id, rep_id FROM labels""".stripMargin)),
 
     // edit-distance near-dup: the cheap-filter → expensive-verifier
-    // composition that every fuzzy-dedup pipeline at scale reduces to.
-    // Candidates come from the d06 SimHash bands (equi-join on a 12-bit
-    // band value — never all-pairs); only candidate pairs pay the O(n*m)
-    // levenshtein DP, and the relative threshold (dist <= 20% of the
-    // longer text) makes the verdict length-scale-free. At 100 TB the
-    // verifier cost is bounded by the band collision count, which the
-    // banding keeps near-linear in true near-dups. Both engines evaluate
-    // levenshtein on characters with identical semantics.
+    // composition that every fuzzy-dedup pipeline at scale reduces to,
+    // stacked the way production stacks it:
+    //   1. EXACT-dup collapse first (GROUP BY text) — verbatim copies are
+    //      the bulk of any crawl corpus and must never reach the verifier
+    //      (k copies would be k² identical-text levenshtein calls);
+    //   2. candidates from the MINHASH band equi-join over the collapsed
+    //      corpus — 2×30-bit signature equality, far more selective than a
+    //      12-bit SimHash band (whose template-cluster collisions were
+    //      measured in the millions on this corpus: the d06 comment);
+    //   3. only surviving candidate pairs pay the O(n*m) levenshtein DP,
+    //      with a relative threshold (dist <= 20% of the longer text).
+    // At 100 TB the verifier cost is linear in true near-dup pairs, not in
+    // band-bucket populations. Both engines evaluate levenshtein on
+    // characters with identical semantics.
     dialect("d09_editdist_neardup",
-      s"""WITH $sparkSimhashBandCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+      s"""WITH uniq AS (
+         |  SELECT min(doc_id) AS doc_id, text
+         |  FROM documents GROUP BY text),
+         |${sparkMinhashCtesFrom("uniq")},
+         |cand AS ($minhashPairsSelect)
          |SELECT doc_a, doc_b,
          |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
          |FROM cand
-         |JOIN documents ta ON ta.doc_id = cand.doc_a
-         |JOIN documents tb ON tb.doc_id = cand.doc_b
+         |JOIN uniq ta ON ta.doc_id = cand.doc_a
+         |JOIN uniq tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) * 5
          |      <= greatest(length(ta.text), length(tb.text))""".stripMargin,
-      s"""WITH $duckSimhashBandCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+      s"""WITH uniq AS (
+         |  SELECT min(doc_id) AS doc_id, text
+         |  FROM documents GROUP BY text),
+         |${duckMinhashCtesFrom("uniq")},
+         |cand AS ($minhashPairsSelect)
          |SELECT doc_a, doc_b,
          |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
          |FROM cand
-         |JOIN documents ta ON ta.doc_id = cand.doc_a
-         |JOIN documents tb ON tb.doc_id = cand.doc_b
+         |JOIN uniq ta ON ta.doc_id = cand.doc_a
+         |JOIN uniq tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) * 5
          |      <= greatest(length(ta.text), length(tb.text))""".stripMargin)
   )

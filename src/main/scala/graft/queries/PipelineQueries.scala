@@ -281,6 +281,53 @@ object PipelineQueries {
          |FROM (SELECT grp, rep_id,
          |             CAST('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 15) AS BIGINT) AS h
          |      FROM asg)
-         |GROUP BY 1""".stripMargin))
+         |GROUP BY 1""".stripMargin)),
+
+    // corpus snapshot reconciliation — what changed between two crawls?
+    // Two snapshots are derived deterministically from the fixture (old =
+    // doc_id % 7 <> 0; new = doc_id % 5 <> 0 with every 11th text revised)
+    // and reconciled by a FULL OUTER hash join on doc_id comparing content
+    // hashes: added / removed / changed / unchanged, with doc and token
+    // volumes per class. At 100 TB this is the standard incremental-crawl
+    // audit: one shuffle per side on the join key, md5 computed in the
+    // scan projection, and a 4-group aggregate — no full-text compare
+    // (hashes stand in for the payload everywhere past the scan).
+    dialect("p05_snapshot_diff",
+      """WITH old_snap AS (
+        |  SELECT doc_id, md5(text) AS h, size(split(text, ' ')) AS n_tok
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |new_snap AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN concat(text, ' [revised]')
+        |                  ELSE text END) AS h,
+        |         size(split(CASE WHEN doc_id % 11 = 0 THEN concat(text, ' [revised]')
+        |                         ELSE text END, ' ')) AS n_tok
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h <> n.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n_docs,
+        |       CAST(sum(coalesce(n.n_tok, o.n_tok)) AS BIGINT) AS n_tokens
+        |FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+        |GROUP BY 1""".stripMargin,
+      """WITH old_snap AS (
+        |  SELECT doc_id, md5(text) AS h, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |new_snap AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [revised]'
+        |                  ELSE text END) AS h,
+        |         len(string_split(CASE WHEN doc_id % 11 = 0 THEN text || ' [revised]'
+        |                               ELSE text END, ' ')) AS n_tok
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h <> n.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n_docs,
+        |       CAST(sum(coalesce(n.n_tok, o.n_tok)) AS BIGINT) AS n_tokens
+        |FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+        |GROUP BY 1""".stripMargin)
   )
 }

@@ -110,4 +110,23 @@ class PipelineSuite extends SparkTestBase {
     assert(spanning.collect()(0).getLong(0) == 0L,
       "a near-dup pair crossed the split boundary — leakage")
   }
+
+  test("p05 snapshot diff classes partition both snapshots exactly") {
+    val rows = PipelineQueries.defs.find(_.name == "p05_snapshot_diff").get
+      .fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    val oldN = docs.count(_ % 7 != 0)
+    val newN = docs.count(_ % 5 != 0)
+    assert(rows("added") + rows("changed") + rows("unchanged") == newN,
+      "added+changed+unchanged must cover the new snapshot")
+    assert(rows("removed") + rows("changed") + rows("unchanged") == oldN,
+      "removed+changed+unchanged must cover the old snapshot")
+    // revision marker fires: every doc in both snapshots with id % 11 == 0
+    val changedExpected = docs.count(d => d % 7 != 0 && d % 5 != 0 && d % 11 == 0)
+    assert(rows("changed") == changedExpected,
+      s"changed=${rows("changed")} expected $changedExpected")
+  }
 }

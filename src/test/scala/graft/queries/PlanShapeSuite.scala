@@ -74,4 +74,15 @@ class PlanShapeSuite extends SparkTestBase {
     val p = finalPlan("d03_ngram_jaccard")
     assert(count(p, "CartesianProduct") == 0, "d03 cartesian")
   }
+
+  test("d09 candidates come from the band equi-join; levenshtein never " +
+      "gates a cartesian") {
+    val p = finalPlan("d09_editdist_neardup")
+    assert(count(p, "CartesianProduct") == 0,
+      "d09 cartesian — the verifier must only run on band-mate candidates")
+    // the expensive verifier must appear as a post-join filter/projection,
+    // not as a join condition forcing a nested-loop plan
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, "d09 nested-loop join")
+    assert(p.contains("levenshtein"), "d09 lost its levenshtein verifier")
+  }
 }
