@@ -377,6 +377,45 @@ object DedupQueries {
          |JOIN uniq ta ON ta.doc_id = cand.doc_a
          |JOIN uniq tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) * 5
-         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin)
+         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin),
+
+    // survivor selection over the d08 clusters — the policy step that
+    // turns "these docs are duplicates" into "keep THIS one": per cluster,
+    // keep the member with the most content (token count), tiebreak to
+    // the smallest doc_id so retries and both engines elect identically.
+    // The argmax is a struct-min aggregate ((-n_tok, doc_id) ordering) —
+    // map-side combinable, one shuffle on rep_id, no window sort. This is
+    // deliberately a DIFFERENT policy than the rep itself (the rep is the
+    // component minimum, a canonical NAME; the survivor is a QUALITY
+    // choice) — conflating them loses content whenever the smallest id
+    // isn't the best copy.
+    QueryDef("d10_cluster_survivors",
+      (spark, sfDir) => {
+        views(spark, sfDir)
+        graft.ops.ConnectedComponents
+          .labels(minhashPairs(spark), "doc_a", "doc_b")
+          .selectExpr("node_id AS doc_id", "rep_id")
+          .createOrReplaceTempView("graft_d10_labels")
+        spark.sql(
+          """SELECT rep_id,
+            |       min(struct(-n_tok AS nt, doc_id AS id)).id AS survivor_id,
+            |       count(*) AS n_members,
+            |       CAST(max(n_tok) AS BIGINT) AS max_tok
+            |FROM (SELECT l.rep_id, l.doc_id,
+            |             size(split(d.text, ' ')) AS n_tok
+            |      FROM graft_d10_labels l
+            |      JOIN documents d ON d.doc_id = l.doc_id)
+            |GROUP BY rep_id""".stripMargin)
+      },
+      Some(s"""$duckClusterLabels,
+         |mem AS (
+         |  SELECT l.rep_id, l.doc_id,
+         |         len(string_split(d.text, ' ')) AS n_tok
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+         |SELECT rep_id,
+         |       (min({'nt': -n_tok, 'id': doc_id})).id AS survivor_id,
+         |       count(*) AS n_members,
+         |       CAST(max(n_tok) AS BIGINT) AS max_tok
+         |FROM mem GROUP BY rep_id""".stripMargin))
   )
 }
