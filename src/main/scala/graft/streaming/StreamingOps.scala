@@ -28,6 +28,11 @@ case class Session(
 private case class SessionState(
     start: Long, last: Long, n: Long)
 
+/** One survivor change emitted by [[StreamingOps.survivorElect]]. */
+case class SurvivorUpdate(rep_id: Long, survivor_id: Long, n_tok: Int)
+
+private case class SurvivorState(survivorId: Long, nTok: Int)
+
 /**
  * Streaming counterparts of the batch event queries (q24/q25): the same
  * transformations expressed over an unbounded source, the way a production
@@ -386,6 +391,44 @@ object StreamingOps {
       .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
       .join(corpusBands, Seq("band", "sig"))
       .select(col("probe_id"), col("rep_id"))
+
+  /** Ingest-time survivor election — the streaming form of batch d10: as
+   *  cluster members arrive (e.g. from [[clusterAssign]] + a token count),
+   *  each cluster's current best copy is tracked in keyed state (the d10
+   *  policy exactly: most tokens, smallest doc_id on ties) and a row is
+   *  emitted ONLY when the survivor changes — downstream consumers see a
+   *  changelog of survivor handoffs, not a per-arrival firehose. State is
+   *  12 bytes per cluster (survivor id + token count), bounded by cluster
+   *  count, partitioned by rep_id across executors. The election is a max
+   *  under a total order, so replayed/reordered micro-batches converge to
+   *  the same final survivor. Input must carry (rep_id, doc_id, n_tok). */
+  def survivorElect(members: DataFrame): Dataset[SurvivorUpdate] = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    members
+      .selectExpr("CAST(rep_id AS LONG) AS rep_id",
+        "CAST(doc_id AS LONG) AS doc_id", "CAST(n_tok AS INT) AS n_tok")
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SurvivorState, SurvivorUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (rep: Long, rows: Iterator[(Long, Long, Int)],
+            state: GroupState[SurvivorState]) =>
+          var cur = state.getOption
+          var changed = false
+          rows.foreach { case (_, id, nt) =>
+            val better = cur match {
+              case None => true
+              case Some(s) => nt > s.nTok || (nt == s.nTok && id < s.survivorId)
+            }
+            if (better) { cur = Some(SurvivorState(id, nt)); changed = true }
+          }
+          if (changed) {
+            state.update(cur.get)
+            Iterator.single(SurvivorUpdate(rep, cur.get.survivorId, cur.get.nTok))
+          } else Iterator.empty
+      }
+  }
 
   /** File-source entry point: tail a directory of event parquet as a
    *  stream (the readStream → transform → writeStream shape of

@@ -260,6 +260,50 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming survivor election converges to the batch d10 choice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth on the fixture corpus
+    val batch = graft.queries.DedupQueries.defs
+      .find(_.name == "d10_cluster_survivors").get.fn(spark, sfDir)
+      .selectExpr("rep_id", "survivor_id")
+      .as[(Long, Long)].collect().toMap
+    assert(batch.nonEmpty)
+    // stream the SAME cluster members (rep_id, doc_id, n_tok), split
+    // across two micro-batches in doc_id order — survivor handoffs may
+    // fire mid-stream; only the FINAL update per cluster must agree
+    val members = spark.sql(
+      """SELECT l.rep_id, l.doc_id, size(split(d.text, ' ')) AS n_tok
+        |FROM graft_d10_labels l JOIN documents d ON d.doc_id = l.doc_id
+        |ORDER BY doc_id""".stripMargin)
+      .as[(Long, Long, Int)].collect()
+    val input = MemoryStream[(Long, Long, Int)]
+    val updates = StreamingOps.survivorElect(
+      input.toDF().toDF("rep_id", "doc_id", "n_tok"))
+    val query = updates.writeStream.format("memory")
+      .queryName("survivor_sink").outputMode("append").start()
+    try {
+      val (first, second) = members.splitAt(members.length / 2)
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+      // the winning update per rep (best by the d10 policy) must be the
+      // batch survivor — re-derived from the changelog rather than from
+      // sink row order, so the assertion is order-independent
+      val got = spark.table("survivor_sink")
+        .as[SurvivorUpdate].collect()
+        .groupBy(_.rep_id)
+        .map { case (rep, ups) =>
+          rep -> ups.minBy(u => (-u.n_tok, u.survivor_id)).survivor_id
+        }
+      assert(got == batch,
+        s"streaming survivors diverge from batch d10 " +
+          s"(first mismatch: ${got.toSeq.sorted.zip(batch.toSeq.sorted)
+            .find(p => p._1 != p._2)})")
+    } finally query.stop()
+  }
+
   test("streaming decontamination probe matches batch d07 shingle overlap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
