@@ -79,8 +79,11 @@ object ConnectedComponents {
    */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64): DataFrame = {
-    // 64 clears the paper's O(log n) round bound with margin even at
-    // 10^12 nodes (log2 ≈ 40); typical near-dup graphs converge in 2-4
+    // typical near-dup graphs converge in 2-4 rounds and log2(10^12) ≈ 40;
+    // the paper PROVES O(log^2 n) for the alternating algorithm (O(log n)
+    // observed/conjectured), so the cap is a correctness guard against a
+    // silent infinite loop, not a performance bound — a pathological graph
+    // that legitimately needs more rounds should raise maxRounds
     // materialize the input edge set ONCE: the upstream pair generator is
     // typically the expensive part (an LSH pipeline), and without this the
     // initial fingerprint plus round 1's two star passes would each
@@ -97,7 +100,12 @@ object ConnectedComponents {
     while (!converged && round < maxRounds) {
       // checkpoint-by-materialization: each round's plan would otherwise
       // nest the previous round's (lineage grows exponentially with joins)
+      val prevEdges = e
       e = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // release the previous round's checkpoint blocks now instead of at
+      // driver GC — otherwise k rounds pin k+1 edge-set copies in
+      // executor storage
+      prevEdges.unpersist()
       val cur = fingerprint(e)
       converged = cur == prev
       prev = cur

@@ -113,9 +113,10 @@ object DedupQueries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
-  // d06's SimHash banding pipeline as reusable CTE fragments (`bands` =
-  // (doc_id, sh fingerprint, band index b, 12-bit band value bv)); shared
-  // by d06's Hamming recheck and d09's edit-distance recheck
+  // d06's SimHash banding pipeline as CTE fragments (`bands` = (doc_id,
+  // sh fingerprint, band index b, 12-bit band value bv)). d06-only now:
+  // d09 moved to the MinHash bands after the 12-bit SimHash bands proved
+  // collision-heavy on this template-generated corpus
   private[queries] val sparkSimhashBandCtes: String =
     s"""toks AS (
        |  SELECT DISTINCT doc_id, tok
@@ -352,32 +353,42 @@ object DedupQueries {
     //      with a relative threshold (dist <= 20% of the longer text).
     // At 100 TB the verifier cost is linear in true near-dup pairs, not in
     // band-bucket populations. Both engines evaluate levenshtein on
-    // characters with identical semantics.
+    // characters with identical semantics. (The `verified` CTE names the
+    // distance once; note Catalyst still pushes the threshold predicate
+    // back through the projection, so a SURVIVING pair pays the DP a
+    // second time in the project — survivors are a tiny fraction of
+    // candidates, so the filter-side evaluation dominates either way.)
     dialect("d09_editdist_neardup",
       s"""WITH uniq AS (
          |  SELECT min(doc_id) AS doc_id, text
          |  FROM documents GROUP BY text),
          |${sparkMinhashCtesFrom("uniq")},
-         |cand AS ($minhashPairsSelect)
-         |SELECT doc_a, doc_b,
-         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-         |FROM cand
-         |JOIN uniq ta ON ta.doc_id = cand.doc_a
-         |JOIN uniq tb ON tb.doc_id = cand.doc_b
-         |WHERE levenshtein(ta.text, tb.text) * 5
-         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin,
+         |cand AS ($minhashPairsSelect),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+         |         greatest(length(ta.text), length(tb.text)) AS max_len
+         |  FROM cand
+         |  JOIN uniq ta ON ta.doc_id = cand.doc_a
+         |  JOIN uniq tb ON tb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, edit_dist
+         |FROM verified
+         |WHERE edit_dist * 5 <= max_len""".stripMargin,
       s"""WITH uniq AS (
          |  SELECT min(doc_id) AS doc_id, text
          |  FROM documents GROUP BY text),
          |${duckMinhashCtesFrom("uniq")},
-         |cand AS ($minhashPairsSelect)
-         |SELECT doc_a, doc_b,
-         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-         |FROM cand
-         |JOIN uniq ta ON ta.doc_id = cand.doc_a
-         |JOIN uniq tb ON tb.doc_id = cand.doc_b
-         |WHERE levenshtein(ta.text, tb.text) * 5
-         |      <= greatest(length(ta.text), length(tb.text))""".stripMargin),
+         |cand AS ($minhashPairsSelect),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+         |         greatest(length(ta.text), length(tb.text)) AS max_len
+         |  FROM cand
+         |  JOIN uniq ta ON ta.doc_id = cand.doc_a
+         |  JOIN uniq tb ON tb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, edit_dist
+         |FROM verified
+         |WHERE edit_dist * 5 <= max_len""".stripMargin),
 
     // survivor selection over the d08 clusters — the policy step that
     // turns "these docs are duplicates" into "keep THIS one": per cluster,

@@ -256,9 +256,14 @@ object PipelineQueries {
           .selectExpr(
             "coalesce(rep_id, CAST(doc_id AS BIGINT)) AS grp",
             "rep_id")
+          // hash once per doc, branch on the bucket (mirrors the oracle's
+          // inner-select shape; two inline hash copies also drift apart
+          // under future edits)
+          .selectExpr("grp", "rep_id",
+            "graft_hash60(concat('split:', CAST(grp AS STRING))) % 10 AS bucket")
           .selectExpr(
-            """CASE WHEN graft_hash60(concat('split:', CAST(grp AS STRING))) % 10 < 8 THEN 'train'
-              |     WHEN graft_hash60(concat('split:', CAST(grp AS STRING))) % 10 = 8 THEN 'val'
+            """CASE WHEN bucket < 8 THEN 'train'
+              |     WHEN bucket = 8 THEN 'val'
               |     ELSE 'test' END AS split""".stripMargin,
             "grp", "rep_id")
           .groupBy("split")

@@ -389,7 +389,13 @@ object StreamingOps {
   def clusterAssign(stream: DataFrame, corpusBands: DataFrame): DataFrame =
     minhashBands(stream)
       .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
-      .join(corpusBands, Seq("band", "sig"))
+      // dedup the static side to one row per (band, sig, rep): duplicate
+      // CORPUS members share all their band keys (that is the whole
+      // premise), so joining the raw member-level table would emit one
+      // identical output row per cluster member — cluster-size-fold
+      // amplification on the hot path
+      .join(corpusBands.select(col("band"), col("sig"), col("rep_id"))
+        .dropDuplicates("band", "sig", "rep_id"), Seq("band", "sig"))
       .select(col("probe_id"), col("rep_id"))
 
   /** Ingest-time survivor election — the streaming form of batch d10: as
