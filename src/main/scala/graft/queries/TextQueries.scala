@@ -221,6 +221,36 @@ object TextQueries {
          |       r.dup_2gram_frac,
          |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST($TopWordFracMax AS DOUBLE)
          |        AND r.dup_2gram_frac <= CAST($DupGramFracMax AS DOUBLE)) AS keep
-         |FROM grm r JOIN top t ON r.doc_id = t.doc_id""".stripMargin)
+         |FROM grm r JOIN top t ON r.doc_id = t.doc_id""".stripMargin),
+
+    // token-rarity (inverse-df) content score — the language-model-free
+    // perplexity proxy: rare vocabulary scores high, boilerplate scores
+    // low. Deliberately INTEGER arithmetic end to end (score = sum of
+    // 1e6 div document-frequency over the doc's distinct tokens) so both
+    // engines agree bit-for-bit — a log-prob variant would hinge on ln()
+    // ULP parity across engines. Scale shape: one distinct (doc, token)
+    // explode, a token-keyed df aggregate (map-side combinable; vocab is
+    // tiny next to the corpus), a token-keyed join back (hot function
+    // words skew the key — AQE skew handling splits them), and a doc-
+    // keyed final aggregate. Two shuffles total at any corpus size.
+    dialect("t07_idf_score",
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok),
+        |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok)
+        |SELECT doc_id,
+        |       count(*) AS n_distinct_tok,
+        |       CAST(sum(1000000 div df) AS BIGINT) AS idf_score
+        |FROM dt JOIN df USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok)
+        |SELECT doc_id,
+        |       count(*) AS n_distinct_tok,
+        |       CAST(sum(1000000 // df) AS BIGINT) AS idf_score
+        |FROM dt JOIN df USING (tok)
+        |GROUP BY doc_id""".stripMargin)
   )
 }
