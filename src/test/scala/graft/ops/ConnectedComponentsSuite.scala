@@ -56,6 +56,23 @@ class ConnectedComponentsSuite extends SparkTestBase {
     assert(ccLabels(Seq.empty).isEmpty)
   }
 
+  test("multi-round convergence: 2000-node forest of long chains") {
+    // 20 chains of 100 nodes each — needs several large/small-star rounds
+    // (exercises the per-round checkpoint + unpersist path), and the
+    // label set must be exactly the 20 chain heads
+    val edges = (0 until 20).flatMap { c =>
+      val base = c * 1000L + 1
+      (0 until 99).map(i => (base + i, base + i + 1))
+    }
+    val got = ccLabels(edges)
+    assert(got.size == 2000)
+    assert(got.values.toSet == (0 until 20).map(c => c * 1000L + 1).toSet)
+    (0 until 20).foreach { c =>
+      val base = c * 1000L + 1
+      (0 until 100).foreach(i => assert(got(base + i) == base))
+    }
+  }
+
   test("random graphs match driver-side union-find") {
     val genEdge = for {
       a <- Gen.choose(0L, 30L)
