@@ -75,6 +75,25 @@ class PlanShapeSuite extends SparkTestBase {
     assert(count(p, "CartesianProduct") == 0, "d03 cartesian")
   }
 
+  test("p05 reconciles snapshots with one full-outer hash join") {
+    val p = finalPlan("p05_snapshot_diff")
+    assert(count(p, "CartesianProduct") == 0, "p05 cartesian")
+    assert(count(p, "FullOuter") >= 1, "p05 lost its full-outer join")
+    assert(count(p, "Generate") == 0, "p05 should not explode")
+    // join (2 sides) + final 4-group aggregate
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"p05 has ${count(p, "Exchange hashpartitioning")} shuffles (expected <=3)")
+  }
+
+  test("t07 rarity score: df aggregate + token join, never a cartesian") {
+    val p = finalPlan("t07_idf_score")
+    assert(count(p, "CartesianProduct") == 0, "t07 cartesian")
+    assert(count(p, "SortAggregate") == 0, "t07 regained a sort-aggregate")
+    // distinct (doc,tok), df aggregate, join back, doc aggregate
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"t07 has ${count(p, "Exchange hashpartitioning")} shuffles (expected <=4)")
+  }
+
   test("d09 candidates come from the band equi-join; levenshtein never " +
       "gates a cartesian") {
     val p = finalPlan("d09_editdist_neardup")
