@@ -333,6 +333,52 @@ object PipelineQueries {
         |       count(*) AS n_docs,
         |       CAST(sum(coalesce(n.n_tok, o.n_tok)) AS BIGINT) AS n_tokens
         |FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // sequence-packing plan — the "documents → fixed-size training
+    // windows" step: per source, documents are laid out in doc_id order,
+    // each starts at the running token offset, and the 512-token window
+    // it starts in is its chunk. The audit reports docs/tokens per chunk
+    // and how many docs straddle a window boundary (straddlers get split
+    // by the downstream tokenizer — the packing-efficiency signal).
+    // Deterministic integer math only (cumulative sums + div), so both
+    // engines agree exactly. Scale shape: ONE window pass per source
+    // partition (shuffle on source, in-partition ORDER BY doc_id) + a
+    // (source, chunk) aggregate; at 100 TB the partition key would be
+    // p03's shard instead of source — same plan, finer keys, and the
+    // window sort is the write-out sort the packer needs anyway.
+    dialect("p06_sequence_pack",
+      """WITH tok AS (
+        |  SELECT source, doc_id, size(split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT source, doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+        |  FROM tok)
+        |SELECT source,
+        |       CAST(off0 div 512 AS BIGINT) AS chunk_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN off0 div 512 <> (off0 + n_tok - 1) div 512
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        |FROM off
+        |GROUP BY source, off0 div 512""".stripMargin,
+      """WITH tok AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT source, doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+        |  FROM tok)
+        |SELECT source,
+        |       CAST(off0 // 512 AS BIGINT) AS chunk_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN off0 // 512 <> (off0 + n_tok - 1) // 512
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        |FROM off
+        |GROUP BY source, off0 // 512""".stripMargin)
   )
 }
