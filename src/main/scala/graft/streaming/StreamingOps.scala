@@ -33,6 +33,11 @@ case class SurvivorUpdate(rep_id: Long, survivor_id: Long, n_tok: Int)
 
 private case class SurvivorState(survivorId: Long, nTok: Int)
 
+/** One chunk assignment emitted by [[StreamingOps.packAssign]]. */
+case class PackAssignment(source: String, doc_id: Long, chunk_id: Long)
+
+private case class PackState(offset: Long)
+
 /**
  * Streaming counterparts of the batch event queries (q24/q25): the same
  * transformations expressed over an unbounded source, the way a production
@@ -433,6 +438,37 @@ object StreamingOps {
             state.update(cur.get)
             Iterator.single(SurvivorUpdate(rep, cur.get.survivorId, cur.get.nTok))
           } else Iterator.empty
+      }
+  }
+
+  /** Ingest-time sequence-pack assignment — the streaming form of batch
+   *  p06: one running token offset per source lives in keyed state (8
+   *  bytes), and each arriving document is assigned the `windowTokens`-
+   *  sized chunk its offset starts in. Packing order is arrival order —
+   *  the streaming semantics — with doc_id order inside a micro-batch so
+   *  replays of a batch assign identically. Input must carry (source,
+   *  doc_id, n_tok). Feeding documents in doc_id order reproduces the
+   *  batch p06 layout exactly (tested). */
+  def packAssign(docs: DataFrame, windowTokens: Long = 512L): Dataset[PackAssignment] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("CAST(source AS STRING) AS source",
+        "CAST(doc_id AS LONG) AS doc_id", "CAST(n_tok AS LONG) AS n_tok")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, nt) =>
+            val chunk = off / windowTokens
+            off += nt
+            PackAssignment(src, id, chunk)
+          }
+          state.update(PackState(off))
+          out.iterator
       }
   }
 

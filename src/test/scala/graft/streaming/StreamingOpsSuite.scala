@@ -304,6 +304,45 @@ class StreamingOpsSuite extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming pack assignment in doc_id order reproduces batch p06") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: per-doc chunk assignment re-derived with the p06 window
+    val batch = spark.sql(
+      """SELECT source, doc_id,
+        |       CAST(coalesce(sum(size(split(text, ' ')))
+        |         OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         div 512 AS BIGINT) AS chunk_id
+        |FROM documents""".stripMargin)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val members = spark.sql(
+      """SELECT source, doc_id, size(split(text, ' ')) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin)
+      .as[(String, Long, Int)].collect()
+
+    val input = MemoryStream[(String, Long, Int)]
+    val assigned = StreamingOps.packAssign(
+      input.toDF().toDF("source", "doc_id", "n_tok"))
+    val query = assigned.writeStream.format("memory")
+      .queryName("pack_sink").outputMode("append").start()
+    try {
+      val (first, second) = members.splitAt(members.length / 2)
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+      val got = spark.table("pack_sink").as[PackAssignment].collect()
+        .map(p => (p.source, p.doc_id) -> p.chunk_id).toMap
+      assert(got.size == members.length)
+      assert(got == batch,
+        s"streaming pack diverges from batch p06 (first mismatch: ${
+          got.toSeq.sortBy(_._1).zip(batch.toSeq.sortBy(_._1))
+            .find(p => p._1 != p._2)})")
+    } finally query.stop()
+  }
+
   test("streaming decontamination probe matches batch d07 shingle overlap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
