@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions.{col, count, expr, greatest, least, lit, m
  * Neither pass materializes an adjacency LIST (no collect_set — a
  * high-degree star root at 100 TB would OOM a single task); the min is a
  * map-side-combinable aggregate and the re-pointing is a shuffle join on
- * the node id. Rounds converge in O(log n) (proven in the paper); each
- * round is 2 shuffles + an O(1)-row convergence check.
+ * the node id. Rounds converge in O(log^2 n) proven / O(log n) observed
+ * (see labels()); each round is 2 shuffles + an O(1)-row convergence
+ * check.
  *
  * Reference analog: none — the reference engine has no graph operator;
  * this extends the dedup family (SURVEY.md §2.3) to cluster granularity.
@@ -83,8 +84,9 @@ object ConnectedComponents {
     // the paper PROVES O(log^2 n) for the alternating algorithm (O(log n)
     // observed/conjectured), so the cap is a correctness guard against a
     // silent infinite loop, not a performance bound — a pathological graph
-    // that legitimately needs more rounds should raise maxRounds
-    // materialize the input edge set ONCE: the upstream pair generator is
+    // that legitimately needs more rounds should raise maxRounds.
+    //
+    // Materialize the input edge set ONCE: the upstream pair generator is
     // typically the expensive part (an LSH pipeline), and without this the
     // initial fingerprint plus round 1's two star passes would each
     // recompute it from scratch
