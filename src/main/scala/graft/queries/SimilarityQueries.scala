@@ -372,6 +372,69 @@ object SimilarityQueries {
          |           / (a.nrm * b.nrm) > CAST(0.4 AS DOUBLE))
          |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
          |       (d.vec_id IS NULL) AS kept
-         |FROM av a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin)
+         |FROM av a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin),
+
+    // ANN recall audit — the "did my index degrade?" production check, as
+    // an oracle-gated query instead of a one-off test: per query vector,
+    // how many of the EXACT top-5 neighbors (the s01 brute-force path)
+    // does the s04 LSH candidate set contain? Output is pure integer
+    // counts (n_exact / n_cand / hits), so both engines agree exactly and
+    // a recall regression from any future change to the plane derivation
+    // or banding fails the correctness gate, not just a tolerance test.
+    // Scale shape: the exact side stays capped to the 20 audit queries
+    // (the s01 cap) — at 100 TB this audit runs on a sampled query set by
+    // construction, never on the full corpus.
+    dialect("s08_ann_recall",
+      s"""WITH e AS ($sparkNormalized),
+         |$sparkLsh,
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY graft_dot(q.v, c.v) / (q.nrm * c.nrm) DESC,
+         |                                       c.vec_id) AS rank
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20) t
+         |  WHERE rank <= 5),
+         |cand AS (
+         |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  FROM buckets bq JOIN buckets bc
+         |    ON bq.band = bc.band AND bq.bucket = bc.bucket
+         |   AND bq.vec_id <> bc.vec_id
+         |  WHERE bq.vec_id < 20),
+         |ccnt AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id)
+         |SELECT x.query_id,
+         |       count(*) AS n_exact,
+         |       CAST(coalesce(max(ccnt.n_cand), 0) AS BIGINT) AS n_cand,
+         |       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |FROM exact x
+         |LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+         |LEFT JOIN ccnt ON ccnt.query_id = x.query_id
+         |GROUP BY x.query_id""".stripMargin,
+      s"""WITH $duckLsh,
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+         |                                       c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20) t
+         |  WHERE rank <= 5),
+         |cand AS (
+         |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         |  FROM buckets bq JOIN buckets bc
+         |    ON bq.band = bc.band AND bq.bucket = bc.bucket
+         |   AND bq.vec_id <> bc.vec_id
+         |  WHERE bq.vec_id < 20),
+         |ccnt AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id)
+         |SELECT x.query_id,
+         |       count(*) AS n_exact,
+         |       CAST(coalesce(max(ccnt.n_cand), 0) AS BIGINT) AS n_cand,
+         |       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |FROM exact x
+         |LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+         |LEFT JOIN ccnt ON ccnt.query_id = x.query_id
+         |GROUP BY x.query_id""".stripMargin)
   )
 }
