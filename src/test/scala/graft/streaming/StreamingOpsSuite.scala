@@ -571,6 +571,40 @@ class StreamingOpsSuite extends SparkTestBase {
       s"expected 0..19 exactly once, got ${got.size} rows: $got")
   }
 
+  test("packAssign running-offset state survives a checkpointed restart") {
+    // the stateful-recovery story for the packer: 20 docs of 100 tokens
+    // each arrive across a kill/restart; chunk ids must continue from the
+    // recovered offset (doc i starts at token 100*i -> chunk (100*i)/512),
+    // exactly the layout a single uninterrupted run would produce
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
+    val (in, chk, out) = (s"$base/in", s"$base/chk", s"$base/out")
+    def docs(ids: Range) =
+      ids.map(i => ("srcA", i.toLong, 100)).toDF("source", "doc_id", "n_tok")
+    docs(0 until 10).write.mode("append").parquet(in)
+
+    def startQuery() = StreamingOps.packAssign(
+      spark.readStream.schema("source STRING, doc_id LONG, n_tok INT").parquet(in))
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    docs(10 until 20).write.mode("append").parquet(in) // arrives while down
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet, s"lost/duplicated docs: $got")
+    (0L until 20L).foreach { i =>
+      assert(got(i) == (100 * i) / 512,
+        s"doc $i: chunk ${got(i)} != ${(100 * i) / 512} — offset state lost")
+    }
+  }
+
   test("sessionize closes sessions on gap and matches expected counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
