@@ -59,15 +59,28 @@ object ConnectedComponents {
 
   /** O(1)-row fingerprint of a canonicalized edge set: (count, xor of a
     * 64-bit hash of each edge — order-independent, overflow-free under
-    * ANSI). Equal fingerprints across a round ⇒ converged (collision odds
-    * are negligible and a false "converged" can only happen after the
-    * edge set stopped shrinking). */
+    * ANSI). Equal fingerprints across a round ⇒ PROBABLY converged; the
+    * loop confirms with one exact set comparison (see [[labels]]) so a
+    * hash collision can never silently accept a non-star edge set. */
   private def fingerprint(e: DataFrame): (Long, Long) = {
     val row = e.select(
       greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
       .distinct()
       .agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private def canonical(e: DataFrame): DataFrame =
+    e.select(greatest(col("u"), col("v")).as("a"),
+             least(col("u"), col("v")).as("b")).distinct()
+
+  /** Exact edge-set equality — runs only when the fingerprints already
+    * match, i.e. once per labels() call at convergence (plus never again
+    * unless a 64-bit collision actually occurred). */
+  private def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean = {
+    val ca = canonical(a)
+    val cb = canonical(b)
+    ca.exceptAll(cb).union(cb.exceptAll(ca)).limit(1).count() == 0L
   }
 
   /**
@@ -104,12 +117,17 @@ object ConnectedComponents {
       // nest the previous round's (lineage grows exponentially with joins)
       val prevEdges = e
       e = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val cur = fingerprint(e)
+      // fingerprint match is necessary but (vanishingly-improbably) not
+      // sufficient: confirm with one exact set comparison before declaring
+      // convergence — the && short-circuits, so the extra pass runs once
+      // per call, at convergence only
+      converged = cur == prev && sameEdgeSet(prevEdges, e)
       // release the previous round's checkpoint blocks now instead of at
       // driver GC — otherwise k rounds pin k+1 edge-set copies in
-      // executor storage
+      // executor storage (safe here: the convergence check above already
+      // consumed prevEdges)
       prevEdges.unpersist()
-      val cur = fingerprint(e)
-      converged = cur == prev
       prev = cur
       round += 1
     }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Session-cached near-duplicate cluster closure: the d08 connected
+ * components over the MinHash-LSH pair graph, computed ONCE per
+ * (session, fixture dir) and shared by every consumer (d08's cluster
+ * listing, d10's survivor election, p04's leakage-safe split).
+ *
+ * Why: the closure — LSH banding + the iterative large-star/small-star
+ * contraction — is the most expensive stage of the dedup pipeline, and
+ * before this cache d08, d10 and p04 each recomputed it from scratch
+ * (3× the pipeline's dominant cost at every scale; at sf1 that was
+ * ~10 s of a 70 s non-s02 bench). One computation, materialized via
+ * `localCheckpoint`, turns the other two consumers into a cheap join
+ * against a small cached label table.
+ *
+ * Size: labels cover only docs incident to ≥1 near-dup pair — a small
+ * fraction of any real corpus (55 rows at sf0.01) — so pinning the
+ * checkpoint blocks for the session's lifetime costs kilobytes per
+ * fixture, not gigabytes. A 100 TB deployment would write the labels to
+ * a table on the re-cluster cadence and read that everywhere, which is
+ * exactly the shape this cache gives the single-session registry.
+ */
+object ClusterLabels {
+
+  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Number of full closure computations since JVM start — lets tests
+    * assert the sharing actually happens (one computation across
+    * d08 + d10 + p04). */
+  private[graft] val computations = new AtomicLong(0L)
+
+  /** (doc_id, rep_id) for every doc incident to ≥1 near-dup pair;
+    * rep_id = component-minimum doc_id. Computed on first request per
+    * (session, sfDir), materialized, then served from cache. */
+  def labels(spark: SparkSession, sfDir: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir),
+      _ => {
+        QueryDef.views(spark, sfDir)
+        computations.incrementAndGet()
+        graft.ops.ConnectedComponents
+          .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
+          .selectExpr("node_id AS doc_id", "rep_id")
+          .localCheckpoint(eager = true)
+      })
+}

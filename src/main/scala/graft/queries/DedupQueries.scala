@@ -332,9 +332,8 @@ object DedupQueries {
     QueryDef("d08_dup_clusters",
       (spark, sfDir) => {
         views(spark, sfDir)
-        graft.ops.ConnectedComponents
-          .labels(minhashPairs(spark), "doc_a", "doc_b")
-          .selectExpr("node_id AS doc_id", "rep_id")
+        // session-cached closure — shared with d10/p04 (ClusterLabels)
+        ClusterLabels.labels(spark, sfDir)
       },
       Some(s"""$duckClusterLabels
          |SELECT doc_id, rep_id FROM labels""".stripMargin)),
@@ -403,20 +402,18 @@ object DedupQueries {
     QueryDef("d10_cluster_survivors",
       (spark, sfDir) => {
         views(spark, sfDir)
-        graft.ops.ConnectedComponents
-          .labels(minhashPairs(spark), "doc_a", "doc_b")
-          .selectExpr("node_id AS doc_id", "rep_id")
-          .createOrReplaceTempView("graft_d10_labels")
-        spark.sql(
-          """SELECT rep_id,
-            |       min(struct(-n_tok AS nt, doc_id AS id)).id AS survivor_id,
-            |       count(*) AS n_members,
-            |       CAST(max(n_tok) AS BIGINT) AS max_tok
-            |FROM (SELECT l.rep_id, l.doc_id,
-            |             size(split(d.text, ' ')) AS n_tok
-            |      FROM graft_d10_labels l
-            |      JOIN documents d ON d.doc_id = l.doc_id)
-            |GROUP BY rep_id""".stripMargin)
+        import org.apache.spark.sql.functions.expr
+        // session-cached closure (shared with d08/p04) joined directly as
+        // a DataFrame — no temp view, so concurrent invocations on one
+        // session can't race and user views can't be clobbered
+        ClusterLabels.labels(spark, sfDir)
+          .join(spark.table("documents"), "doc_id")
+          .selectExpr("rep_id", "doc_id", "size(split(text, ' ')) AS n_tok")
+          .groupBy("rep_id")
+          .agg(
+            expr("min(struct(-n_tok AS nt, doc_id AS id)).id").as("survivor_id"),
+            expr("count(*)").as("n_members"),
+            expr("CAST(max(n_tok) AS BIGINT)").as("max_tok"))
       },
       Some(s"""$duckClusterLabels,
          |mem AS (

@@ -248,9 +248,8 @@ object PipelineQueries {
     QueryDef("p04_leakage_split",
       (spark, sfDir) => {
         QueryDef.views(spark, sfDir)
-        val labels = graft.ops.ConnectedComponents
-          .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
-          .selectExpr("node_id AS doc_id", "rep_id")
+        // session-cached closure — shared with d08/d10 (ClusterLabels)
+        val labels = ClusterLabels.labels(spark, sfDir)
         spark.table("documents")
           .join(labels, Seq("doc_id"), "left")
           .selectExpr(

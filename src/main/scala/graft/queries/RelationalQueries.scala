@@ -425,6 +425,46 @@ object RelationalQueries {
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey < 20""".stripMargin),
 
+    // 14-table JOB-depth join — the workload depth the reference was built
+    // for (its JOB envelope joins up to 17 tables; the registry previously
+    // topped out at q27's 8). Shape: the customer chain region→nation→
+    // customer→orders fans out through TWO lineitems of the same order,
+    // each with its own part + supplier→nation→region chain — a chain ×
+    // star mix whose transfer graph is 14 nodes with MST depth 8
+    // (cr→cn→c→o→l2→s2→sn2→sr2), so the forward AND backward cascades
+    // both traverse ≥6 hops (pinned by TransferScheduleSuite). Global-MIN
+    // aggregates keep the output 1 row (the JOB output convention) while
+    // every join must still run in full. The l1↔l2 linenumber disequality
+    // rides the o_orderkey equi edge as an "other" conjunct — the mixed
+    // condition class JOB hits constantly.
+    common("q35_job_depth",
+      """SELECT count(*) AS n,
+        |       min(CAST(floor(l1.l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+        |       min(p1.p_name) AS min_part,
+        |       min(s2.s_name) AS min_supp,
+        |       min(c.c_name) AS min_cust
+        |FROM region cr
+        |JOIN nation cn ON cn.n_regionkey = cr.r_regionkey
+        |JOIN customer c ON c.c_nationkey = cn.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |JOIN part p1 ON p1.p_partkey = l1.l_partkey
+        |JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+        |JOIN nation sn1 ON sn1.n_nationkey = s1.s_nationkey
+        |JOIN region sr1 ON sr1.r_regionkey = sn1.n_regionkey
+        |JOIN lineitem l2 ON l2.l_orderkey = o.o_orderkey AND l2.l_linenumber <> l1.l_linenumber
+        |JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        |JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |JOIN nation sn2 ON sn2.n_nationkey = s2.s_nationkey
+        |JOIN region sr2 ON sr2.r_regionkey = sn2.n_regionkey
+        |WHERE cr.r_name = 'ASIA'
+        |  AND sr1.r_name = 'EUROPE'
+        |  AND sr2.r_name = 'AMERICA'
+        |  AND p1.p_size <= 10
+        |  AND p2.p_size >= 40
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_quantity >= 25""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,

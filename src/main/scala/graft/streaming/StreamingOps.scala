@@ -390,7 +390,14 @@ object StreamingOps {
    *  match; representative election (min rep) stays downstream, keeping
    *  the operator state-free like [[neardupProbe]]. `corpusBands` must
    *  carry (band, sig, rep_id) — [[minhashBands]] of the corpus joined to
-   *  its d08 labels. */
+   *  its d08 labels — and MUST be a materialized table (`.cache()` +
+   *  an action, or a written-out table re-read): Spark re-evaluates the
+   *  static side of a stream-static join every micro-batch, so an
+   *  unmaterialized corpus plan would re-run its whole derivation (the
+   *  LSH pipeline and CC closure included) once per trigger. This
+   *  operator dedups the static side below, but dedup of an unmaterialized
+   *  plan still re-derives it — materialization is the caller's contract,
+   *  same as [[decontaminationProbe]]'s bench side. */
   def clusterAssign(stream: DataFrame, corpusBands: DataFrame): DataFrame =
     minhashBands(stream)
       .select(col("doc_id").as("probe_id"), col("band"), col("sig"))

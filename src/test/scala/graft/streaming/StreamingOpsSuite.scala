@@ -272,10 +272,10 @@ class StreamingOpsSuite extends SparkTestBase {
     // stream the SAME cluster members (rep_id, doc_id, n_tok), split
     // across two micro-batches in doc_id order — survivor handoffs may
     // fire mid-stream; only the FINAL update per cluster must agree
-    val members = spark.sql(
-      """SELECT l.rep_id, l.doc_id, size(split(d.text, ' ')) AS n_tok
-        |FROM graft_d10_labels l JOIN documents d ON d.doc_id = l.doc_id
-        |ORDER BY doc_id""".stripMargin)
+    val members = graft.queries.ClusterLabels.labels(spark, sfDir)
+      .join(spark.table("documents"), "doc_id")
+      .selectExpr("rep_id", "doc_id", "size(split(text, ' ')) AS n_tok")
+      .orderBy("doc_id")
       .as[(Long, Long, Int)].collect()
     val input = MemoryStream[(Long, Long, Int)]
     val updates = StreamingOps.survivorElect(

@@ -63,5 +63,32 @@ spark.conf.set("spark.graft.rpt.enabled", "true")
 // single-join stays untouched
 val one = spark.sql("SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
 assert("might_contain".r.findAllIn(one.queryExecution.optimizedPlan.toString).isEmpty, "1-edge query must be untouched")
+
+// --- round 8: q35 JOB-depth 14-table join, rule-on/off differential ---
+spark.conf.set("spark.graft.rpt.enabled", "true")
+val q35on = graft.SparkEntry.queries("q35_job_depth")(spark, sf)
+val q35onProbes = "might_contain".r.findAllIn(q35on.queryExecution.optimizedPlan.toString).length
+val q35onRes = q35on.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val q35off = graft.SparkEntry.queries("q35_job_depth")(spark, sf)
+val q35offRes = q35off.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.enabled", "true")
+println(s"[drive] q35 probes on=$q35onProbes resultsEqual=${q35onRes == q35offRes} row=${q35onRes.headOption}")
+assert(q35onProbes > 0, "q35: expected probes at JOB depth")
+assert(q35onRes == q35offRes, "q35: rule changed results")
+assert(q35onRes.head.contains("5,"), s"q35: unexpected result ${q35onRes.head}")
+
+// --- round 8: s02 is a sampled audit now (20 probe vectors x corpus) ---
+val s02 = graft.SparkEntry.queries("s02_cosine_neardup")(spark, sf)
+println(s"[drive] s02 sampled-audit rows=${s02.count()}")
+
+// --- round 8: d10 survivor election through the shared closure ---
+val d10 = graft.SparkEntry.queries("d10_cluster_survivors")(spark, sf)
+val d10rows = d10.collect()
+println(s"[drive] d10_cluster_survivors rows=${d10rows.length}")
+assert(d10rows.nonEmpty)
+assert(spark.catalog.tableExists("graft_d10_labels") == false,
+  "d10 must not leak a temp view")
+
 println("[drive] ALL CHECKS PASSED")
 System.exit(0)
