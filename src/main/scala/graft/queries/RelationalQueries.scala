@@ -430,9 +430,11 @@ object RelationalQueries {
     // topped out at q27's 8). Shape: the customer chain region→nation→
     // customer→orders fans out through TWO lineitems of the same order,
     // each with its own part + supplier→nation→region chain — a chain ×
-    // star mix whose transfer graph is 14 nodes with MST depth 8
-    // (cr→cn→c→o→l2→s2→sn2→sr2), so the forward AND backward cascades
-    // both traverse ≥6 hops (pinned by TransferScheduleSuite). Global-MIN
+    // star mix whose transfer graph is a 14-node tree of diameter 8
+    // (sr1→sn1→s1→l1→o→l2→s2→sn2→sr2): a region leaf's filter reaches
+    // the opposite region leaf only through the full forward+backward
+    // cascade (depth 5 per pass from the lineitem root — the schema's
+    // maximum; pinned by JobDepthSuite). Global-MIN
     // aggregates keep the output 1 row (the JOB output convention) while
     // every join must still run in full. The l1↔l2 linenumber disequality
     // rides the o_orderkey equi edge as an "other" conjunct — the mixed

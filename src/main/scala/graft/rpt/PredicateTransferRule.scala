@@ -289,8 +289,19 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       // the reduction must ride through small units to the big tables
       // behind them, without those units paying a probe subquery of their
       // own. Skip on member overlap (diamond) — embedding a unit twice
-      // would duplicate ExprIds across two sides of a join.
+      // would duplicate ExprIds across two sides of a join. Also skip
+      // embedding a reducer LARGER than the unit it reduces (same ratio
+      // as the probe gate): the ride-through case is a small dim chain
+      // riding into the facts behind it; a fact-sized reducer embedded
+      // into a smaller unit's view makes every downstream build of that
+      // view re-scan + broadcast the fact (measured at JOB depth: q35's
+      // orders-build embedding lineitem cost more than its extra
+      // selectivity returned — 1.00x; blocked, the dim chain still rides
+      // and the build stays a dims-only broadcast-semi tree).
       if (buildForm == "semijoin" && !buildGated &&
+          (buildProbeRatio <= 0 ||
+            graph.units(op.build).card * buildProbeRatio <=
+              graph.units(op.probe).card) &&
           (reducedBuild.members & reduced(op.probe).members).isEmpty) {
         val rp = reduced(op.probe)
         val jcond = op.probeKeys.zip(op.buildKeys)
