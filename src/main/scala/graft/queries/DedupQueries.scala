@@ -280,23 +280,41 @@ object DedupQueries {
     // aggregate combines map-side — candidate PAIRS are never
     // materialized (a near-dup cluster of k docs would emit k^2 pairs;
     // measured 3M pairs on the sf0.1 corpus before this shape).
-    dialect("d06_simhash_neardup",
-      s"""WITH $sparkSimhashBandCtes
-         |SELECT a.doc_id,
-         |       least(a.doc_id, coalesce(min(
-         |         CASE WHEN bit_count(a.sh ^ c.sh) <= 8 THEN c.doc_id END),
-         |         a.doc_id)) AS rep_id
-         |FROM bands a LEFT JOIN bands c
-         |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
-         |GROUP BY a.doc_id""".stripMargin,
-      s"""WITH $duckSimhashBandCtes
+    // Spark side: the band equi-join runs through SkewJoin.saltedJoin —
+    // the (band, band_value) key domain is 4 × 4096 and this corpus's
+    // template clusters concentrate MILLIONS of band-mate rows on a few
+    // hot keys (measured at sf0.1), so a plain shuffle join sends every
+    // row of a hot band to ONE reducer which then emits that band's k²
+    // join output alone. Salting spreads each hot key's probe rows over
+    // 8 reducers (right side replicated 8×, the documented trade) and the
+    // min-mate aggregate combines map-side. Docs without a qualifying
+    // mate re-enter via the left fill join, matching the SQL LEFT JOIN.
+    QueryDef("d06_simhash_neardup",
+      (spark, sfDir) => {
+        views(spark, sfDir)
+        import org.apache.spark.sql.functions.min
+        val bands = spark.sql(
+          s"WITH $sparkSimhashBandCtes\nSELECT doc_id, sh, b, bv FROM bands")
+        val probe = bands.selectExpr("doc_id", "sh", "b * 4096 + bv AS bkey")
+        val mates = bands.selectExpr(
+          "doc_id AS c_doc_id", "sh AS c_sh", "b * 4096 + bv AS c_bkey")
+        val mateMin = graft.ops.SkewJoin
+          .saltedJoin(probe, mates, "bkey", "c_bkey", salts = 8)
+          .where("c_doc_id < doc_id AND bit_count(sh ^ c_sh) <= 8")
+          .groupBy("doc_id").agg(min("c_doc_id").as("mate_min"))
+        bands.select("doc_id").distinct()
+          .join(mateMin, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "least(doc_id, coalesce(mate_min, doc_id)) AS rep_id")
+      },
+      Some(s"""WITH $duckSimhashBandCtes
          |SELECT a.doc_id,
          |       least(a.doc_id, coalesce(min(
          |         CASE WHEN bit_count(CAST(xor(a.sh, c.sh) AS BIGINT)) <= 8 THEN c.doc_id END),
          |         a.doc_id)) AS rep_id
          |FROM bands a LEFT JOIN bands c
          |  ON a.b = c.b AND a.bv = c.bv AND c.doc_id < a.doc_id
-         |GROUP BY a.doc_id""".stripMargin),
+         |GROUP BY a.doc_id""".stripMargin)),
 
     // benchmark decontamination: which training docs share an n-gram with
     // the held-out evaluation set (here: every 41st doc stands in for the

@@ -417,13 +417,34 @@ object RelationalQueries {
     // global top-k and q13's window rank). Spark decorrelates the lateral
     // into a ranked join; DuckDB executes it natively. Tie-break on
     // o_orderkey keeps the row set deterministic on both engines.
-    common("q34_lateral_topk",
-      """SELECT c_custkey, o_orderkey, o_totalprice
+    // per-group top-k via the bounded TopK aggregate (graft.ops.TopK)
+    // instead of the LATERAL ... ORDER BY ... LIMIT form: the lateral (or
+    // its window-rank equivalent) sorts every row of every group; the
+    // aggregate keeps ≤2k candidates per partial buffer so the shuffle
+    // carries k rows per group per partition — the shape that survives a
+    // customer with millions of orders. Plan pinned by PlanShapeSuite (no
+    // Window, no per-group Sort). The oracle keeps the lateral SQL: same
+    // semantics, independent derivation.
+    QueryDef("q34_lateral_topk",
+      (spark, sfDir) => {
+        views(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, explode}
+        spark.table("customer").where("c_custkey < 20")
+          .join(spark.table("orders"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey")
+          .agg(graft.ops.TopK.topK(2)(
+            col("o_totalprice"), col("o_orderkey")).as("tk"))
+          .select(col("c_custkey"), explode(col("tk")).as("t"))
+          .selectExpr("c_custkey", "t._2 AS o_orderkey",
+            "t._1 AS o_totalprice")
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer,
         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
         |         WHERE o_custkey = c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        |WHERE c_custkey < 20""".stripMargin),
+        |WHERE c_custkey < 20""".stripMargin)),
 
     // 14-table JOB-depth join — the workload depth the reference was built
     // for (its JOB envelope joins up to 17 tables; the registry previously

@@ -98,12 +98,12 @@ object SimilarityQueries {
        |  SELECT e.vec_id, $sparkSimArrExpr AS sa
        |  FROM e CROSS JOIN cents c)""".stripMargin
 
-  private val duckNormalized =
+  private[queries] val duckNormalized =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |       sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x)) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val duckCents =
+  private[queries] val duckCents =
     """cents AS (
       |  SELECT list({'cid': vec_id, 'cv': v, 'cnrm': nrm}) AS cs
       |  FROM e WHERE vec_id < 16)""".stripMargin
@@ -114,7 +114,7 @@ object SimilarityQueries {
       |                     / (e.nrm * x.cnrm),
       |            'cid': x.cid})""".stripMargin
 
-  private val duckSimsArr =
+  private[queries] val duckSimsArr =
     s"""simsarr AS (
        |  SELECT e.vec_id, $duckSimArrExpr AS sa
        |  FROM e CROSS JOIN cents c)""".stripMargin

@@ -1,0 +1,160 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingOps
+
+/**
+ * Oracle-gated registry entries for the DETERMINISTIC streaming operators
+ * (graft.streaming.StreamingOps): each one runs as a REAL Structured
+ * Streaming query — file-source read of the fixture parquet → the
+ * operator → a memory sink drained to completion — and its output is
+ * hash-compared against the same DuckDB SQL that gates the batch analog.
+ * This closes the gap the suite-only streaming tests left: a change that
+ * breaks stream/batch parity now fails the external correctness gate,
+ * not just `sbt test`.
+ *
+ * Only operators whose output is a pure function of the input SET are
+ * gated here (fingerprints, band keys, shard/IVF/sample assignment, the
+ * repetition gate, and pack assignment — which is arrival-ordered in
+ * general but reproduces the batch layout exactly when the whole fixture
+ * arrives as one file = one micro-batch, StreamingOps.packAssign's
+ * documented contract). Event-time operators whose output depends on
+ * watermark progress (hourlyRollup, sessionize, dedupExact,
+ * intervalJoin) stay suite-gated: in append mode their final windows
+ * only emit on watermark advancement, which a drain-to-completion batch
+ * run can't trigger deterministically.
+ *
+ * Scale note: the memory sink is test/gate plumbing — a production run
+ * writes `writeStream.format("parquet")`. The sink holds one copy of the
+ * operator output on the driver, bounded by the fixture scale the gate
+ * runs at (sf0.01: ≤2M small rows for the band explode).
+ */
+object StreamingQueries {
+
+  private val sinkId = new AtomicLong(0L)
+
+  /** Runs `op` over a file-streaming read of `table`, drains every
+    * available micro-batch into a memory sink, stops the query, and
+    * returns the sink table (one fixture file ⇒ one micro-batch). */
+  private def runStream(spark: SparkSession, sfDir: String, table: String)(
+      op: DataFrame => DataFrame): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source requires a DIRECTORY: tail the fixture dir,
+    // glob-filtered to this table's file
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val query = op(src).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // d05's fingerprint, computed in-row at ingest (StreamingOps.simhash)
+    QueryDef("v01_stream_simhash",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(
+        StreamingOps.simhash(_).select("doc_id", "simhash")),
+      Some(DedupQueries.defs.find(_.name == "d05_simhash").get.oracle.get)),
+
+    // d04's (band, sig) keys, computed in-row at ingest
+    QueryDef("v02_stream_minhash_bands",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(
+        StreamingOps.minhashBands(_)
+          .selectExpr("doc_id", "CAST(band AS BIGINT) AS band", "sig")),
+      Some(s"""WITH ${DedupQueries.duckMinhashCtes}
+         |SELECT doc_id, CAST(band AS BIGINT) AS band, sig
+         |FROM bands""".stripMargin)),
+
+    // p03's deterministic shard assignment as a stateless stream map
+    QueryDef("v03_stream_shard_assign",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(
+        StreamingOps.shardAssign(_).select("doc_id", "shard")),
+      Some("""SELECT doc_id,
+         |       CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS shard
+         |FROM documents""".stripMargin)),
+
+    // s05's IVF cell routing against a static broadcast centroid table
+    QueryDef("v04_stream_ivf_assign",
+      (spark, sfDir) => {
+        val cents = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .where("vec_id < 16")
+          .selectExpr("vec_id AS cid", "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+          .cache()
+        cents.count() // materialize: static side of a stream-static join
+        try runStream(spark, sfDir, "embeddings")(
+          StreamingOps.ivfAssign(_, cents)
+            .selectExpr("vec_id", "CAST(cid AS BIGINT) AS cid"))
+        finally cents.unpersist()
+      },
+      Some(s"""WITH e AS (${SimilarityQueries.duckNormalized}),
+         |${SimilarityQueries.duckCents},
+         |${SimilarityQueries.duckSimsArr}
+         |SELECT vec_id, CAST((list_aggregate(sa, 'max')).cid AS BIGINT) AS cid
+         |FROM simsarr""".stripMargin)),
+
+    // t06's repetition gate, computed in-row (sorted-run max) at ingest
+    QueryDef("v05_stream_repetition_gate",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(
+        StreamingOps.repetitionGate(_)
+          .select("doc_id", "top_word_frac", "dup_2gram_frac", "keep")),
+      Some(s"""WITH ${TextQueries.duckGramsRep},
+         |top AS (
+         |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+         |    SELECT doc_id, tok, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |          FROM documents) e
+         |    GROUP BY doc_id, tok) c
+         |  GROUP BY doc_id)
+         |SELECT r.doc_id,
+         |       CAST(t.top_cnt AS DOUBLE) / r.n_tok AS top_word_frac,
+         |       r.dup_2gram_frac,
+         |       (CAST(t.top_cnt AS DOUBLE) / r.n_tok <= CAST(${TextQueries.TopWordFracMax} AS DOUBLE)
+         |        AND r.dup_2gram_frac <= CAST(${TextQueries.DupGramFracMax} AS DOUBLE)) AS keep
+         |FROM grm r JOIN top t ON r.doc_id = t.doc_id""".stripMargin)),
+
+    // t05's deterministic per-source hash sampling at ingest
+    QueryDef("v06_stream_hash_sample",
+      (spark, sfDir) => runStream(spark, sfDir, "documents") { docs =>
+        StreamingOps.hashSample(docs, org.apache.spark.sql.functions.expr(
+          """CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 80
+            |     WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 50
+            |     ELSE 20 END""".stripMargin))
+          .select("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id FROM (
+         |  SELECT doc_id, source,
+         |         CASE WHEN source IN ('src0', 'src4', 'src8', 'src12', 'src16') THEN 80
+         |              WHEN source IN ('src1', 'src5', 'src9', 'src13', 'src17') THEN 50
+         |              ELSE 20 END AS rate_pct,
+         |         CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+         |  FROM documents) r
+         |WHERE bucket < rate_pct""".stripMargin)),
+
+    // p06's running-offset chunk assignment in keyed state — the one
+    // STATEFUL op gated here: with the fixture arriving as a single
+    // micro-batch, packAssign's in-batch doc_id ordering reproduces the
+    // batch p06 layout exactly (its documented replay contract)
+    QueryDef("v07_stream_pack_assign",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(docs =>
+        StreamingOps.packAssign(
+          docs.selectExpr("source", "doc_id",
+            "size(split(text, ' ')) AS n_tok")).toDF()),
+      Some("""WITH tok AS (
+         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |off AS (
+         |  SELECT source, doc_id,
+         |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+         |  FROM tok)
+         |SELECT source, doc_id, CAST(off0 // 512 AS BIGINT) AS chunk_id
+         |FROM off""".stripMargin))
+  )
+}

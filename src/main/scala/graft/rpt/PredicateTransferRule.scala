@@ -202,8 +202,11 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       val needed = AttributeSet(keys.flatMap(_.references))
       val projected = Project(buildPlan.output.filter(needed.contains), buildPlan)
       val alias = SUBQ_ALIAS + (if (forward) "_fwd" else "_bwd")
-      ScalarSubquery(
-        Aggregate(Nil, Seq(Alias(expr, alias)()), projected))
+      // v2 file sources: build the scans now — later optimizer batches
+      // don't traverse freshly-injected subquery expressions (SqlBridge
+      // scaladoc); a v1 LogicalRelation passes through untouched
+      ScalarSubquery(SqlBridge.planV2Scans(
+        Aggregate(Nil, Seq(Alias(expr, alias)()), projected)))
     }
 
     // The reference's backward-pass broadcast optimization: ONE bloom

@@ -28,6 +28,24 @@ object SqlBridge {
   def countRows(plan: LogicalPlan): Long =
     Dataset.ofRows(active, plan).count()
 
+  /** Build DSv2 scans inside an optimizer-injected subquery plan.
+   *
+   *  The RPT rule runs as a pre-CBO rule, BEFORE the optimizer's scan
+   *  building converts `DataSourceV2Relation` into a plannable
+   *  `DataSourceV2ScanRelation` — and the later batches never traverse
+   *  into subquery expressions the rule just injected. A v1
+   *  `LogicalRelation` is plannable as-is, so this never mattered until a
+   *  session enables v2 file sources (spark.sql.sources.useV1SourceList)
+   *  — where an untreated subquery fails physical planning with "No plan
+   *  for RelationV2". Running the stock push-down rule over the subquery
+   *  plan performs exactly the conversion the main plan gets later. */
+  def planV2Scans(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2ScanRelationPushDown}
+    if (plan.exists(_.isInstanceOf[DataSourceV2Relation])) {
+      V2ScanRelationPushDown(plan)
+    } else plan
+  }
+
   /** Register `plan` with the session cache (idempotent) and return the
    *  cached in-memory relation wearing `plan`'s own output attributes —
    *  substitutable for any occurrence of the plan subtree. */

@@ -94,6 +94,24 @@ class PlanShapeSuite extends SparkTestBase {
       s"t07 has ${count(p, "Exchange hashpartitioning")} shuffles (expected <=4)")
   }
 
+  test("q34 per-group top-k: bounded aggregate, no window, no per-group sort") {
+    val p = finalPlan("q34_lateral_topk")
+    assert(count(p, "Window") == 0, "q34 regained a window-rank pipeline")
+    assert(count(p, "SortAggregate") == 0, "q34 top-k fell back to sort-agg")
+    // the TopK udaf runs as an object-hash aggregate: partial (2k-bounded
+    // buffers) + final — the shuffle carries k rows per group per task
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      "q34 lost the partial/final bounded top-k aggregate")
+  }
+
+  test("d06 salted band join spreads hot bands; min combines map-side") {
+    val p = finalPlan("d06_simhash_neardup")
+    assert(count(p, "CartesianProduct") == 0, "d06 cartesian")
+    assert(count(p, "Window") == 0, "d06 window")
+    // the salt explode on the mate side is the one Generate
+    assert(count(p, "Generate") >= 1, "d06 lost the salt replication")
+  }
+
   test("d09 candidates come from the band equi-join; levenshtein never " +
       "gates a cartesian") {
     val p = finalPlan("d09_editdist_neardup")
