@@ -81,6 +81,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     if (RptConf.displayDag(conf)) {
       logInfo(s"[graft-rpt] transfer schedule:\n${DagPrinter.render(graph, ops)}")
     }
+    PredicateTransferRule.lastSchedule = Some((graph, ops))
     val rewritten = applyOps(plan, graph, ops)
     if (RptConf.displayPhysicalDag(conf)) {
       logInfo(s"[graft-rpt] rewritten plan:\n${rewritten.treeString}")
@@ -456,6 +457,13 @@ object PredicateTransferRule {
   // depth counter, not a boolean: helpers may compose (a cached-relation
   // registration planning a count, say) and an inner nested call must not
   // clear the guard for the still-running outer one
+  /** The most recent transfer schedule this JVM planned — consumed by
+    * [[DagPrinter.renderPhysical]]/the profiling listener to join measured
+    * probe selectivities onto the schedule's boxed tree (display-only:
+    * a best-effort pairing, racy across concurrent sessions by design). */
+  @volatile private[rpt] var lastSchedule
+      : Option[(JoinGraph, Seq[ScheduledOp])] = None
+
   private val nestedDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }

@@ -21,6 +21,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
  */
 object RptExplain {
 
+  /** The reference's `rpt_display_physical_dag` analog: the boxed transfer
+    * tree (dag_printer.cpp RenderSubtree) with each unit annotated by its
+    * MEASURED probe rows/selectivity from the executed plan's metrics.
+    * Requires an action to have run on `df` (metrics are post-execution)
+    * and joins against the most recently planned schedule. */
+  def displayPhysicalDag(df: DataFrame): String =
+    PredicateTransferRule.lastSchedule match {
+      case Some((g, ops)) =>
+        DagPrinter.renderPhysical(g, ops, df.queryExecution)
+      case None => "rpt: no transfer schedule planned in this session"
+    }
+
   private case class Probe(
       target: String, pass: String, keys: Seq[Expression], createId: Int)
   private case class Create(

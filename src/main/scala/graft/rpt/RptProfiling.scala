@@ -26,7 +26,7 @@ object RptProfiling {
 
   final case class ProbeStat(
       node: String, pass: String, rowsIn: Long, rowsOut: Long,
-      stageMs: Long) {
+      stageMs: Long, probeCols: Seq[String] = Nil) {
     def selectivity: Double =
       if (rowsIn <= 0) 1.0 else rowsOut.toDouble / rowsIn.toDouble
   }
@@ -62,7 +62,16 @@ object RptProfiling {
             if (aliases.exists(_.contains("graft_rpt_bf_bwd"))) "backward"
             else if (aliases.exists(_.contains("graft_rpt_bf_fwd"))) "forward"
             else "?"
-          Seq(ProbeStat(f.child.nodeName, pass, in, out, stageMs))
+          // probe-key column names let DagPrinter.renderPhysical join this
+          // stat back onto the transfer schedule's unit boxes
+          val cols = f.condition.collect {
+            case BloomFilterMightContain(_, h) =>
+              h.collect {
+                case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+                  a.name
+              }
+          }.flatten.distinct
+          Seq(ProbeStat(f.child.nodeName, pass, in, out, stageMs, cols))
         case _ => Nil
       }
       here ++ p.children.flatMap(walk(_, stageMs)) ++
@@ -163,6 +172,13 @@ object RptProfiling {
           // scalastyle:off println
           println(s"[graft-rpt] $funcName (${durationNs / 1000000} ms)\n" +
             report(qe))
+          // the physical-DAG render rides the same listener when asked for
+          if (sparkSession.conf.getOption(RptConf.DISPLAY_PHYSICAL_DAG)
+              .exists(_.toBoolean)) {
+            PredicateTransferRule.lastSchedule.foreach { case (g, ops) =>
+              println(DagPrinter.renderPhysical(g, ops, qe))
+            }
+          }
           // scalastyle:on println
         }
       }
