@@ -92,7 +92,9 @@ object ConnectedComponents {
    *         rep_id = smallest node id in the node's component
    */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      roundObserver: (Int, Double, Long) => Unit = (_, _, _) => ()
+  ): DataFrame = {
     // typical near-dup graphs converge in 2-4 rounds and log2(10^12) ≈ 40;
     // the paper PROVES O(log^2 n) for the alternating algorithm (O(log n)
     // observed/conjectured), so the cap is a correctness guard against a
@@ -116,8 +118,13 @@ object ConnectedComponents {
       // checkpoint-by-materialization: each round's plan would otherwise
       // nest the previous round's (lineage grows exponentially with joins)
       val prevEdges = e
+      val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint(eager = true)
       val cur = fingerprint(e)
+      // (round index, wall seconds for star passes + fingerprint, edges
+      // after the round) — the sf-probe's per-round evidence that round
+      // count and per-round cost stay O(log n)-ish as the graph scales
+      roundObserver(round + 1, (System.nanoTime() - t0) / 1e9, cur._1)
       // fingerprint match is necessary but (vanishingly-improbably) not
       // sufficient: confirm with one exact set comparison before declaring
       // convergence — the && short-circuits, so the extra pass runs once

@@ -144,7 +144,7 @@ object DedupQueries {
        |  FROM fp, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
 
   /** The d04 near-dup pair graph as a DataFrame (input to d08/p04). */
-  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession)
+  private[graft] def minhashPairs(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame =
     spark.sql(s"WITH $sparkMinhashCtes\n$minhashPairsSelect")
 

@@ -16,6 +16,7 @@ import graft.GraftSession
  * for the dedup operators.
  *
  * Usage: runMain graft.tools.ScaleFixtures <srcDir> <dstDir> <factor>
+ *          [table ...]   (default: every fixture table)
  */
 object ScaleFixtures {
 
@@ -42,8 +43,9 @@ object ScaleFixtures {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "args: <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length >= 3, "args: <srcDir> <dstDir> <factor> [table ...]")
+    val Array(src, dst, factorS) = args.take(3)
+    val only = args.drop(3).toSet // empty = all tables
     val factor = factorS.toInt
     val spark = GraftSession.build(appName = "graft-scale-fixtures")
 
@@ -59,7 +61,8 @@ object ScaleFixtures {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
 
-    shiftKeys.foreach { case (table, keys) =>
+    shiftKeys.filter(t => only.isEmpty || only(t._1)).foreach {
+      case (table, keys) =>
       val df = spark.read.parquet(s"$src/$table.parquet")
       val out =
         if (keys.isEmpty) df else scaled(df, factor, keys)
