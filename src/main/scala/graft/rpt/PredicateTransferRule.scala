@@ -406,11 +406,21 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
    *  user predicate, or a transfer filter an earlier op landed (which is
    *  what propagates "filtered" transitively along the schedule). The
    *  reference's filtered/unfiltered table classification
-   *  (src/transfer_graph_manager.hpp:103-114). */
+   *  (src/transfer_graph_manager.hpp:103-114).
+   *
+   *  Negation-only conjuncts (`<>`, NOT ...) do NOT qualify: the standard
+   *  selectivity assumption for a negation is 1 − 1/ndv — it keeps almost
+   *  every row — so a build gated only by one produces a bloom filter
+   *  containing nearly all keys while still paying a full build scan
+   *  (measured: q05's `o_orderstatus <> 'O'` build of 1.5M orders cost
+   *  0.8× at sf1; with the negation ignored the rule stands down to
+   *  1.0×). An equality/range/IN conjunct anywhere in the filter still
+   *  qualifies the unit. */
   private def selectivelyFiltered(p: LogicalPlan): Boolean = p.exists {
     case Filter(cond, _) =>
       splitConjunctivePredicates(cond).exists {
         case _: IsNotNull => false
+        case _: Not => false
         case _ => true
       }
     case _ => false
