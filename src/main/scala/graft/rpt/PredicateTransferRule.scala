@@ -258,6 +258,23 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
 
+    // measured-selectivity gate (opt-in via runtimeSizedBuilds — the flag
+    // that already pays for planning-time counts): a build whose STATIC
+    // filter measurably keeps >= maxBuildKeepFraction of the unit's rows
+    // is skipped — its bloom filter would contain most keys. Memoized per
+    // unit; only meaningful when the unit's own static filter is what
+    // qualified it (a transitively-reduced unit's count would measure the
+    // unfiltered table and wrongly gate).
+    val runtimeGate = RptConf.runtimeSizedBuilds(conf)
+    val keepFrac = RptConf.maxBuildKeepFraction(conf)
+    val keepGateMemo = mutable.HashMap[Int, Boolean]()
+    def measuredUnselective(id: Int): Boolean =
+      runtimeGate && keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
+        val u = graph.units(id)
+        u.cardMeasured && selectivelyFiltered(u.plan) &&
+          RuntimeCounts.count(u.plan).exists(_ >= keepFrac * u.card)
+      })
+
     ops.foreach { op =>
       if (!inBackward && !op.forward) {
         inBackward = true
@@ -280,7 +297,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             selectivelyFiltered(reducedBuild.unit.plan)
         } else selectivelyFiltered(cascadePlan)
       val buildGated = graph.units(op.build).card > maxBuildRows ||
-        (filteredOnly && !buildFiltered)
+        (filteredOnly && !buildFiltered) || measuredUnselective(op.build)
       val gated = buildGated ||
         graph.units(op.probe).card < minProbeRows ||
         (buildProbeRatio > 0 &&

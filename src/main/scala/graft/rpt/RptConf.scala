@@ -125,6 +125,19 @@ object RptConf {
    *  rows (default 1M ≈ 1.5 MB of bloom filter at 12 bits/key — the point
    *  where mis-sizing starts to matter for broadcast bytes). */
   val RUNTIME_SIZING_MIN_ROWS = "spark.graft.rpt.runtimeSizingMinRows"
+  /** Measured-selectivity payoff gate (active only with
+   *  [[RUNTIME_SIZED_BUILDS]], which pays for the planning-time counts):
+   *  skip ops whose build unit's STATIC filter keeps at least this
+   *  fraction of the unit's rows — a weakly-selective build (a loose
+   *  range, a negation that slipped through as part of a conjunction)
+   *  produces a bloom filter containing most keys, so the probe removes
+   *  little while the build still costs a scan. The syntactic
+   *  filtered/unfiltered classification cannot see this (q05's
+   *  `s_acctbal > 0` keeps ~90% of suppliers and measured 0.90×); the
+   *  measured count can. `1.0` disables. Counts are TTL-cached per plan
+   *  shape (RuntimeCounts), so a fixture/ETL session pays each unit
+   *  shape once per 10 minutes. */
+  val MAX_BUILD_KEEP_FRACTION = "spark.graft.rpt.maxBuildKeepFraction"
   /** Evaluate min/max transfer bounds at PLANNING time and splice them as
    *  literal range predicates instead of scalar-subquery comparisons.
    *  Literal predicates reach the Parquet scan as pushed data filters, so
@@ -204,6 +217,8 @@ object RptConf {
     conf.getConfString(RUNTIME_SIZED_BUILDS, "false").toBoolean
   def runtimeSizingMinRows(conf: SQLConf): Long =
     conf.getConfString(RUNTIME_SIZING_MIN_ROWS, "1048576").toLong
+  def maxBuildKeepFraction(conf: SQLConf): Double =
+    conf.getConfString(MAX_BUILD_KEEP_FRACTION, "0.8").toDouble
   def literalBounds(conf: SQLConf): Boolean =
     conf.getConfString(LITERAL_BOUNDS, "false").toBoolean
   def cacheBuilds(conf: SQLConf): Boolean =

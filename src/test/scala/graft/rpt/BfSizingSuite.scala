@@ -90,7 +90,10 @@ class BfSizingSuite extends SparkTestBase {
     withConf(RptConf.ENABLED -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       RptConf.RUNTIME_SIZED_BUILDS -> "true",
-      RptConf.RUNTIME_SIZING_MIN_ROWS -> "0") {
+      RptConf.RUNTIME_SIZING_MIN_ROWS -> "0",
+      // isolate SIZING: l_quantity > 5 keeps ~90% of lineitem, which the
+      // measured-keep gate (tested separately below) would stand down
+      RptConf.MAX_BUILD_KEEP_FRACTION -> "1.0") {
       val aggs = bfAggs(sql)
       assert(aggs.nonEmpty, "no bloom filter aggregates injected")
       val ests = aggs.map(estItems)
@@ -124,6 +127,66 @@ class BfSizingSuite extends SparkTestBase {
         assert(est <= 65536L,
           s"unmeasured build sized $est — default clamp not applied")
       }
+    }
+  }
+
+  test("measured-keep gate: weakly-selective builds stand down, " +
+      "selective ones transfer (runtimeSizedBuilds on)") {
+    RuntimeCounts.clear()
+    // s_acctbal > -999999 keeps EVERY supplier: statically a qualifying
+    // range predicate, measurably useless — the q05 class
+    val weak =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE s_acctbal > -999999 AND o_totalprice > 1e18""".stripMargin
+    // p_size < 10 keeps ~20% of parts: measurably selective
+    val strong =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size < 10""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.RUNTIME_SIZED_BUILDS -> "true",
+      RptConf.MAX_BUILD_KEEP_FRACTION -> "0.8") {
+      // which table does each injected build subquery BUILD over? (the
+      // build unit is the left-most leaf of the subquery plan; other
+      // leaves are its semi-join reducers)
+      def buildTables(sql: String): Set[String] = {
+        val out = collection.mutable.Set[String]()
+        spark.sql(sql).queryExecution.optimizedPlan.foreach(
+          _.expressions.foreach(_.foreach {
+            case ss: ScalarSubquery
+                if ss.plan.toString.contains("graft_rpt_bf") =>
+              ss.plan.collectLeaves().headOption.foreach { leaf =>
+                leaf.output.headOption.map(_.name.take(2)).foreach {
+                  case "s_" => out += "supplier"
+                  case "p_" => out += "part"
+                  case "o_" => out += "orders"
+                  case "l_" => out += "lineitem"
+                  case _ => ()
+                }
+              }
+            case _ => ()
+          }))
+        out.toSet
+      }
+      // supplier's keep-everything range is measured out; orders'
+      // impossible predicate (keeps 0 rows) still builds
+      val weakBuilds = buildTables(weak)
+      assert(!weakBuilds.contains("supplier"),
+        s"weak supplier build was not gated (builds: $weakBuilds)")
+      assert(weakBuilds.contains("orders"),
+        s"selective orders build lost (builds: $weakBuilds)")
+      // the ~20%-selective part filter stays under the 0.8 keep cap
+      assert(buildTables(strong).contains("part"),
+        "selective part build lost its probe")
+      // and results stay correct with the gate active
+      val on = fingerprint(spark.sql(strong))
+      val off = withConf(RptConf.ENABLED -> "false")(
+        fingerprint(spark.sql(strong)))
+      assert(on === off)
     }
   }
 }
