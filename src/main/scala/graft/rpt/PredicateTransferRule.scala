@@ -258,21 +258,60 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
 
-    // measured-selectivity gate (opt-in via runtimeSizedBuilds — the flag
-    // that already pays for planning-time counts): a build whose STATIC
-    // filter measurably keeps >= maxBuildKeepFraction of the unit's rows
-    // is skipped — its bloom filter would contain most keys. Memoized per
-    // unit; only meaningful when the unit's own static filter is what
-    // qualified it (a transitively-reduced unit's count would measure the
-    // unfiltered table and wrongly gate).
+    // keep-fraction gate: a build whose STATIC filter keeps >=
+    // maxBuildKeepFraction of the unit's rows is skipped — its bloom
+    // filter would contain most keys while the build still costs a scan.
+    // The keep fraction comes from (in preference order):
+    //  - CBO filter estimation (`spark.sql.cbo.enabled` + ANALYZE'd column
+    //    stats): free at planning time — Filter.stats.rowCount is the
+    //    estimated filtered output, the leaf's rowCount/footers the
+    //    unfiltered total;
+    //  - a planning-time count when runtimeSizedBuilds opted in (the flag
+    //    already pays for counts; TTL-cached per unit shape).
+    // Memoized per unit; only applied when the unit's OWN static filter is
+    // what qualified it (a transitively-reduced unit's count would measure
+    // the unfiltered table and wrongly gate).
     val runtimeGate = RptConf.runtimeSizedBuilds(conf)
     val keepFrac = RptConf.maxBuildKeepFraction(conf)
     val keepGateMemo = mutable.HashMap[Int, Boolean]()
     def measuredUnselective(id: Int): Boolean =
-      runtimeGate && keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
+      keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
         val u = graph.units(id)
-        u.cardMeasured && selectivelyFiltered(u.plan) &&
-          RuntimeCounts.count(u.plan).exists(_ >= keepFrac * u.card)
+        selectivelyFiltered(u.plan) && {
+          val unfiltered: Option[Double] = u.plan.collectLeaves() match {
+            case Seq(leaf) => leaf.stats.rowCount.map(_.toDouble)
+              .orElse(ParquetRowCounts.rowCount(leaf).map(_.toDouble))
+            case _ => None
+          }
+          unfiltered.exists { tot =>
+            tot > 0 && {
+              // the CBO estimate is only trustworthy when the filter's
+              // columns actually carry ANALYZE'd stats: FilterEstimation
+              // assumes selectivity 1.0 (keeps ALL rows) for predicates it
+              // cannot estimate, which would read as "weak" and silently
+              // stand the rule down for every CBO user without stats
+              val cboUsable = conf.cboEnabled && {
+                val statAttrs = u.plan.stats.attributeStats
+                val filterAttrs = u.plan.collect {
+                  case Filter(c, _) => splitConjunctivePredicates(c)
+                    .filter {
+                      case _: IsNotNull | _: Not => false
+                      case _ => true
+                    }.flatMap(_.references)
+                }.flatten
+                filterAttrs.nonEmpty && filterAttrs.forall(statAttrs.contains)
+              }
+              val estKeep =
+                if (cboUsable) u.plan.stats.rowCount.map(_.toDouble)
+                else None
+              estKeep.orElse {
+                if (runtimeGate && u.cardMeasured) {
+                  RuntimeCounts.count(u.plan).map(_.toDouble)
+                } else None
+              }.exists(_ >= keepFrac * tot)
+            }
+          }
+        }
       })
 
     ops.foreach { op =>
