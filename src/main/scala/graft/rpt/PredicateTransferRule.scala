@@ -275,6 +275,9 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val keepFrac = RptConf.maxBuildKeepFraction(conf)
     val keepGateMemo = mutable.HashMap[Int, Boolean]()
     def measuredUnselective(id: Int): Boolean =
+      // quick exit on the default path: with neither stats source enabled
+      // the gate can never fire — don't even pay the footer reads
+      (runtimeGate || conf.cboEnabled) &&
       keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
         val u = graph.units(id)
         selectivelyFiltered(u.plan) && {
