@@ -488,6 +488,46 @@ object RelationalQueries {
         |  AND o.o_orderstatus = 'F'
         |  AND l1.l_quantity >= 25""".stripMargin),
 
+    // 17-table join — the reference workload's MAXIMUM width (its JOB
+    // envelope tops out at 17 tables). Extends q35's chain×star shape
+    // with a second ORDER of the same customer (its own full lineitem→
+    // part/supplier→nation→region chain) and a second lineitem of the
+    // first order — so the transfer tree carries two fan-out diamonds
+    // (customer→{o1,o2}, o1→{l1,l3}) that stress the schedule's
+    // member-overlap guard alongside the depth. Selective filters keep
+    // the result small while every join runs in full.
+    common("q36_job_width",
+      """SELECT count(*) AS n,
+        |       min(CAST(floor(l1.l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+        |       min(p3.p_name) AS min_part,
+        |       min(s2.s_name) AS min_supp,
+        |       min(o2.o_orderkey) AS min_o2
+        |FROM region cr
+        |JOIN nation cn ON cn.n_regionkey = cr.r_regionkey
+        |JOIN customer c ON c.c_nationkey = cn.n_nationkey
+        |JOIN orders o1 ON o1.o_custkey = c.c_custkey
+        |JOIN lineitem l1 ON l1.l_orderkey = o1.o_orderkey
+        |JOIN part p1 ON p1.p_partkey = l1.l_partkey
+        |JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+        |JOIN nation sn1 ON sn1.n_nationkey = s1.s_nationkey
+        |JOIN region sr1 ON sr1.r_regionkey = sn1.n_regionkey
+        |JOIN orders o2 ON o2.o_custkey = c.c_custkey AND o2.o_orderkey <> o1.o_orderkey
+        |JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+        |JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        |JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |JOIN nation sn2 ON sn2.n_nationkey = s2.s_nationkey
+        |JOIN region sr2 ON sr2.r_regionkey = sn2.n_regionkey
+        |JOIN lineitem l3 ON l3.l_orderkey = o1.o_orderkey AND l3.l_linenumber <> l1.l_linenumber
+        |JOIN part p3 ON p3.p_partkey = l3.l_partkey
+        |WHERE cr.r_name = 'EUROPE'
+        |  AND sr1.r_name = 'ASIA'
+        |  AND sr2.r_name = 'AMERICA'
+        |  AND o2.o_orderstatus = 'P'
+        |  AND p1.p_size <= 10
+        |  AND p2.p_size >= 40
+        |  AND p3.p_size BETWEEN 20 AND 25
+        |  AND l1.l_quantity >= 40""".stripMargin),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,

@@ -65,6 +65,40 @@ class JobDepthSuite extends SparkTestBase {
       s"tree diameter $diameter — deep cross-leaf propagation regressed")
   }
 
+  test("q36 extracts the width-envelope graph: 17 units, 16 edges, " +
+      "fan-out diamonds") {
+    val plan = withConf(RptConf.ENABLED -> "false") {
+      val df = graft.SparkEntry.queries("q36_job_width")(spark, sfDir)
+      df.queryExecution.optimizedPlan
+    }
+    val g = JoinGraph.extract(plan)
+    val touched = g.edges.flatMap(e => Seq(e.a, e.b)).toSet
+    assert(touched.size == 17, s"units: ${touched.size}")
+    assert(g.edges.size == 16, s"edges: ${g.edges.size}")
+    // two fan-out points (customer → {o1, o2}, o1 → {l1, l3}): at least
+    // two units carry 3+ edges — the shape that stresses the schedule's
+    // member-overlap (diamond) guard
+    val degree = g.edges.flatMap(e => Seq(e.a, e.b))
+      .groupBy(identity).view.mapValues(_.size)
+    assert(degree.count(_._2 >= 3) >= 2,
+      s"expected >=2 fan-out units, got degrees ${degree.toMap}")
+    // the schedule still probes every unit
+    val ops = TransferSchedule.largestRoot(g, "both")
+    val probed = ops.map(_.probe).toSet
+    assert(touched.forall(probed), s"unprobed: ${touched.filterNot(probed)}")
+  }
+
+  test("q35 joinOrder heuristic also covers the full graph at depth") {
+    val ops = TransferSchedule.joinOrder(graph, "both", flipRoots = true)
+    assert(ops.nonEmpty, "joinOrder produced no schedule at JOB depth")
+    val probed = ops.map(_.probe).toSet
+    assert(connected.forall(u => probed(u.id)),
+      s"joinOrder left units unprobed: " +
+        s"${connected.map(_.id).filterNot(probed)}")
+    // both passes present (the DAG orientation must not collapse one)
+    assert(ops.exists(_.forward) && ops.exists(!_.forward))
+  }
+
   test("q35 full two-pass cascade: every unit probed, 13 ops per pass") {
     val ops = TransferSchedule.largestRoot(graph, "both")
     val (fwd, bwd) = ops.partition(_.forward)
