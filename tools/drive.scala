@@ -78,6 +78,20 @@ assert(q35onProbes > 0, "q35: expected probes at JOB depth")
 assert(q35onRes == q35offRes, "q35: rule changed results")
 assert(q35onRes.head.contains("5,"), s"q35: unexpected result ${q35onRes.head}")
 
+// --- round 8: q36 17-table width envelope, rule-on/off differential ---
+// NB: keep every statement on ONE line — in spark-shell -I, a leading-dot
+// continuation line applies to the previous REPL result, silently binding
+// the val to the wrong value
+val q36on = graft.SparkEntry.queries("q36_job_width")(spark, sf)
+val q36onRes = q36on.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val q36offDf = graft.SparkEntry.queries("q36_job_width")(spark, sf)
+val q36offRes = q36offDf.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.enabled", "true")
+println(s"[drive] q36 resultsEqual=${q36onRes == q36offRes} row=${q36onRes.headOption}")
+assert(q36onRes == q36offRes, "q36: rule changed results")
+assert(q36onRes.head.startsWith("[30,"), s"q36: unexpected ${q36onRes.head}")
+
 // --- round 8: s02 is a sampled audit now (20 probe vectors x corpus) ---
 val s02 = graft.SparkEntry.queries("s02_cosine_neardup")(spark, sf)
 println(s"[drive] s02 sampled-audit rows=${s02.count()}")
