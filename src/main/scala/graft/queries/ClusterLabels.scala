@@ -28,7 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object ClusterLabels {
 
-  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+  // Keyed by the session REFERENCE (SparkSession doesn't override equals,
+  // so tuple equality is identity — collision-free, unlike
+  // identityHashCode, which can collide across live objects). Entries for
+  // stopped sessions are evicted lazily on the next access so the map
+  // never accumulates dead sessions' checkpoint blocks for the JVM's life.
+  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Number of full closure computations since JVM start — lets tests
     * assert the sharing actually happens (one computation across
@@ -38,9 +43,10 @@ object ClusterLabels {
   /** (doc_id, rep_id) for every doc incident to ≥1 near-dup pair;
     * rep_id = component-minimum doc_id. Computed on first request per
     * (session, sfDir), materialized, then served from cache. */
-  def labels(spark: SparkSession, sfDir: String): DataFrame =
+  def labels(spark: SparkSession, sfDir: String): DataFrame = {
+    cache.keySet().removeIf(_._1.sparkContext.isStopped)
     cache.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir),
+      (spark, sfDir),
       _ => {
         QueryDef.views(spark, sfDir)
         computations.incrementAndGet()
@@ -49,4 +55,5 @@ object ClusterLabels {
           .selectExpr("node_id AS doc_id", "rep_id")
           .localCheckpoint(eager = true)
       })
+  }
 }

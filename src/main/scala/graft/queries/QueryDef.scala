@@ -18,14 +18,17 @@ case class QueryDef(
 object QueryDef {
   // which sfDir each session currently has registered — view registration
   // re-reads 10 parquet footers per call, which must not land inside a
-  // benchmark's timed region (identity key: temp views die with the session)
+  // benchmark's timed region. Keyed by the session REFERENCE (identity
+  // equality — identityHashCode can collide across live objects); stopped
+  // sessions are evicted on the next call so the map stays bounded.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Registers the fixture tables of `sfDir` as temp views (idempotent,
     * cached per session so repeated query invocations skip the re-read). */
   def views(spark: SparkSession, sfDir: String): Unit = {
-    if (registered.put(System.identityHashCode(spark), sfDir) != sfDir) {
+    registered.keySet().removeIf(_.sparkContext.isStopped)
+    if (registered.put(spark, sfDir) != sfDir) {
       GraftSession.loadTables(spark, sfDir)
     }
   }

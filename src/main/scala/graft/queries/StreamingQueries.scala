@@ -43,16 +43,29 @@ object StreamingQueries {
       op: DataFrame => DataFrame): DataFrame = {
     val path = s"$sfDir/$table.parquet"
     val schema = spark.read.parquet(path).schema
-    // the file stream source requires a DIRECTORY: tail the fixture dir,
-    // glob-filtered to this table's file
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+    // The file stream source requires a DIRECTORY. Driver fixtures write
+    // each table as a single FILE (stream the parent dir, glob-filtered to
+    // the table's file name — pathGlobFilter matches LEAF names only);
+    // Spark-written fixtures (ScaleFixtures) write a DIRECTORY of part
+    // files (stream it directly — the leaf-only glob would match nothing
+    // and silently yield an empty stream).
+    val src =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val query = op(src).writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try query.processAllAvailable()
     finally query.stop()
-    spark.table(name)
+    // Detach the sink table from the catalog before returning: the plan is
+    // already resolved, and leaving the view registered would pin every
+    // invocation's full output on the driver for the session's life.
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -361,7 +361,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       // orders-build embedding lineitem cost more than its extra
       // selectivity returned — 1.00x; blocked, the dim chain still rides
       // and the build stays a dims-only broadcast-semi tree).
-      if (buildForm == "semijoin" && !buildGated &&
+      // The embed exempts itself from the measured keep-fraction gate when
+      // the view carries semis: that gate measures the unit's OWN filter
+      // only, and a weak own filter doesn't devalue the selective
+      // reductions riding through (semis are added only from filtered
+      // builds). With no semis, a measured-weak filter means the embedded
+      // view would be a near-no-op semi — gate it like the build.
+      val embedGated = graph.units(op.build).card > maxBuildRows ||
+        (filteredOnly && !buildFiltered) ||
+        (reducedBuild.semis.isEmpty && measuredUnselective(op.build))
+      if (buildForm == "semijoin" && !embedGated &&
           (buildProbeRatio <= 0 ||
             graph.units(op.build).card * buildProbeRatio <=
               graph.units(op.probe).card) &&

@@ -49,6 +49,8 @@ object ScaleFixtures {
     val factor = factorS.toInt
     val spark = GraftSession.build(appName = "graft-scale-fixtures")
 
+    // a typo'd table name must fail loudly, not no-op with exit 0 (stale
+    // fixtures would silently feed the next bench run)
     val shiftKeys: Map[String, Seq[String]] = Map(
       "region" -> Nil,
       "nation" -> Nil,
@@ -60,6 +62,9 @@ object ScaleFixtures {
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
+    val unknown = only.diff(shiftKeys.keySet)
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}; " +
+      s"known: ${shiftKeys.keys.toSeq.sorted.mkString(", ")}")
 
     shiftKeys.filter(t => only.isEmpty || only(t._1)).foreach {
       case (table, keys) =>

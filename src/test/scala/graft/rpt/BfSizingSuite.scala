@@ -150,28 +150,8 @@ class BfSizingSuite extends SparkTestBase {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       RptConf.RUNTIME_SIZED_BUILDS -> "true",
       RptConf.MAX_BUILD_KEEP_FRACTION -> "0.8") {
-      // which table does each injected build subquery BUILD over? (the
-      // build unit is the left-most leaf of the subquery plan; other
-      // leaves are its semi-join reducers)
-      def buildTables(sql: String): Set[String] = {
-        val out = collection.mutable.Set[String]()
-        spark.sql(sql).queryExecution.optimizedPlan.foreach(
-          _.expressions.foreach(_.foreach {
-            case ss: ScalarSubquery
-                if ss.plan.toString.contains("graft_rpt_bf") =>
-              ss.plan.collectLeaves().headOption.foreach { leaf =>
-                leaf.output.headOption.map(_.name.take(2)).foreach {
-                  case "s_" => out += "supplier"
-                  case "p_" => out += "part"
-                  case "o_" => out += "orders"
-                  case "l_" => out += "lineitem"
-                  case _ => ()
-                }
-              }
-            case _ => ()
-          }))
-        out.toSet
-      }
+      def buildTables(sql: String): Set[String] =
+        RptTestHelpers.buildTables(spark, sql)
       // supplier's keep-everything range is measured out; orders'
       // impossible predicate (keeps 0 rows) still builds
       val weakBuilds = buildTables(weak)

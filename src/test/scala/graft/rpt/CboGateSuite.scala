@@ -1,7 +1,5 @@
 package graft.rpt
 
-import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
-
 import graft.SparkTestBase
 
 /**
@@ -15,25 +13,8 @@ import graft.SparkTestBase
  */
 class CboGateSuite extends SparkTestBase {
 
-  private def buildTables(sql: String): Set[String] = {
-    val out = collection.mutable.Set[String]()
-    spark.sql(sql).queryExecution.optimizedPlan.foreach(
-      _.expressions.foreach(_.foreach {
-        case ss: ScalarSubquery
-            if ss.plan.toString.contains("graft_rpt_bf") =>
-          ss.plan.collectLeaves().headOption.foreach { leaf =>
-            leaf.output.headOption.map(_.name.take(2)).foreach {
-              case "s_" => out += "supplier"
-              case "p_" => out += "part"
-              case "o_" => out += "orders"
-              case "l_" => out += "lineitem"
-              case _ => ()
-            }
-          }
-        case _ => ()
-      }))
-    out.toSet
-  }
+  private def buildTables(sql: String): Set[String] =
+    RptTestHelpers.buildTables(spark, sql)
 
   // weak supplier filter (keeps every row), selective orders filter
   private val weak =
@@ -76,5 +57,49 @@ class CboGateSuite extends SparkTestBase {
         assert(on === off)
       }
     } finally spark.sql("DROP TABLE IF EXISTS graft_cbo_supplier")
+  }
+
+  test("measured-weak own filter does not block the semi ride-through embed") {
+    // nation (selective) reduces supplier (measured-weak own filter)
+    // reduces lineitem: the keep-fraction gate stands supplier's own BF
+    // BUILD down, but supplier's reduced view — carrying the selective
+    // nation semi — must still embed into lineitem's view, so lineitem's
+    // downstream build over orders keeps nation's reduction (subquery
+    // leaves include nation). Gating the embed on the own-filter
+    // measurement alone loses transitive selectivity.
+    val chain =
+      """SELECT count(*) AS n FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' AND s_acctbal > -999999""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PROBE_ROWS -> "0",
+      RptConf.RUNTIME_SIZED_BUILDS -> "true",
+      RptConf.MAX_BUILD_KEEP_FRACTION -> "0.8") {
+      assert(!buildTables(chain).contains("supplier"),
+        "weak supplier build must stand down under the keep-fraction gate")
+      // find the lineitem-build subquery and check nation rides inside it
+      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+      val lineitemBuildLeaves = collection.mutable.Set[String]()
+      spark.sql(chain).queryExecution.optimizedPlan.foreach(
+        _.expressions.foreach(_.foreach {
+          case ss: ScalarSubquery
+              if ss.plan.toString.contains("graft_rpt_bf") =>
+            val leaves = ss.plan.collectLeaves()
+              .flatMap(_.output.headOption.map(_.name.take(2)))
+            if (leaves.headOption.contains("l_"))
+              lineitemBuildLeaves ++= leaves
+          case _ => ()
+        }))
+      assert(lineitemBuildLeaves.contains("n_"),
+        s"nation's reduction must ride through the gated supplier unit " +
+          s"into the lineitem build (leaves: $lineitemBuildLeaves)")
+      val on = fingerprint(spark.sql(chain))
+      val off = withConf(RptConf.ENABLED -> "false")(
+        fingerprint(spark.sql(chain)))
+      assert(on === off)
+    }
   }
 }

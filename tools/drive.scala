@@ -11,6 +11,14 @@
 //     -I tools/drive.scala 2>/dev/null | grep '\[drive\]'
 import org.apache.spark.sql.functions._
 
+// -I continues past a thrown statement, so asserts cannot gate the final
+// verdict. check() records failures without throwing; the final line also
+// requires that every check STATEMENT actually ran (a statement that dies
+// on an unresolved val from an earlier failure never reaches check()).
+var driveFailures = 0
+var driveChecksRun = 0
+def check(cond: Boolean, msg: String): Unit = { driveChecksRun += 1; if (!cond) { driveFailures += 1; println(s"[drive] CHECK FAILED: $msg") } }
+
 val sf = "/root/testdata/sf0.01"
 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 for (t <- Seq("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"))
@@ -20,22 +28,22 @@ for (t <- Seq("region","nation","customer","supplier","part","orders","lineitem"
 val d08 = graft.SparkEntry.queries("d08_dup_clusters")(spark, sf)
 val d08rows = d08.collect()
 println(s"[drive] d08_dup_clusters rows=${d08rows.length} distinctReps=${d08rows.map(_.getLong(1)).distinct.length}")
-assert(d08rows.nonEmpty)
+check(d08rows.nonEmpty, "d08 empty")
 
 val p04 = graft.SparkEntry.queries("p04_leakage_split")(spark, sf)
 val p04rows = p04.collect()
 p04rows.foreach(r => println(s"[drive] p04 ${r.getString(0)} n_docs=${r.getLong(1)} n_groups=${r.getLong(2)} n_clustered=${r.getLong(3)}"))
 val total = p04rows.map(_.getLong(1)).sum
 val docs = spark.table("documents").count()
-assert(total == docs, s"p04 covers $total of $docs docs")
+check(total == docs, s"p04 covers $total of $docs docs")
 
 
 // --- d09 through the public registry ---
 val d09 = graft.SparkEntry.queries("d09_editdist_neardup")(spark, sf)
 val d09rows = d09.collect()
 println(s"[drive] d09_editdist_neardup rows=${d09rows.length}")
-assert(d09rows.nonEmpty)
-assert(d09rows.forall(_.getLong(2) >= 0))
+check(d09rows.nonEmpty, "d09 empty")
+check(d09rows.forall(_.getLong(2) >= 0), "d09 negative distance")
 
 // --- RPT differential at the extensions boundary ---
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -55,14 +63,14 @@ val off = spark.sql(q)
 val offProbes = "might_contain".r.findAllIn(off.queryExecution.optimizedPlan.toString).length
 val offRes = off.collect().map(_.toString).sorted.toSeq
 println(s"[drive] probes on=$onProbes off=$offProbes resultsEqual=${onRes == offRes}")
-assert(onProbes > 0, "rule on: expected might_contain probes")
-assert(offProbes == 0, "rule off: expected no probes")
-assert(onRes == offRes, "rule changed results")
+check(onProbes > 0, "rule on: expected might_contain probes")
+check(offProbes == 0, "rule off: expected no probes")
+check(onRes == offRes, "rule changed results")
 spark.conf.set("spark.graft.rpt.enabled", "true")
 
 // single-join stays untouched
 val one = spark.sql("SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
-assert("might_contain".r.findAllIn(one.queryExecution.optimizedPlan.toString).isEmpty, "1-edge query must be untouched")
+check("might_contain".r.findAllIn(one.queryExecution.optimizedPlan.toString).isEmpty, "1-edge query must be untouched")
 
 // --- round 8: q35 JOB-depth 14-table join, rule-on/off differential ---
 spark.conf.set("spark.graft.rpt.enabled", "true")
@@ -74,9 +82,9 @@ val q35off = graft.SparkEntry.queries("q35_job_depth")(spark, sf)
 val q35offRes = q35off.collect().map(_.toString).sorted.toSeq
 spark.conf.set("spark.graft.rpt.enabled", "true")
 println(s"[drive] q35 probes on=$q35onProbes resultsEqual=${q35onRes == q35offRes} row=${q35onRes.headOption}")
-assert(q35onProbes > 0, "q35: expected probes at JOB depth")
-assert(q35onRes == q35offRes, "q35: rule changed results")
-assert(q35onRes.head.contains("5,"), s"q35: unexpected result ${q35onRes.head}")
+check(q35onProbes > 0, "q35: expected probes at JOB depth")
+check(q35onRes == q35offRes, "q35: rule changed results")
+check(q35onRes.head.contains("5,"), s"q35: unexpected result ${q35onRes.head}")
 
 // --- round 8: q36 17-table width envelope, rule-on/off differential ---
 // NB: keep every statement on ONE line — in spark-shell -I, a leading-dot
@@ -89,8 +97,8 @@ val q36offDf = graft.SparkEntry.queries("q36_job_width")(spark, sf)
 val q36offRes = q36offDf.collect().map(_.toString).sorted.toSeq
 spark.conf.set("spark.graft.rpt.enabled", "true")
 println(s"[drive] q36 resultsEqual=${q36onRes == q36offRes} row=${q36onRes.headOption}")
-assert(q36onRes == q36offRes, "q36: rule changed results")
-assert(q36onRes.head.startsWith("[30,"), s"q36: unexpected ${q36onRes.head}")
+check(q36onRes == q36offRes, "q36: rule changed results")
+check(q36onRes.head.startsWith("[30,"), s"q36: unexpected ${q36onRes.head}")
 
 // --- round 8: s02 is a sampled audit now (20 probe vectors x corpus) ---
 val s02 = graft.SparkEntry.queries("s02_cosine_neardup")(spark, sf)
@@ -100,9 +108,9 @@ println(s"[drive] s02 sampled-audit rows=${s02.count()}")
 val d10 = graft.SparkEntry.queries("d10_cluster_survivors")(spark, sf)
 val d10rows = d10.collect()
 println(s"[drive] d10_cluster_survivors rows=${d10rows.length}")
-assert(d10rows.nonEmpty)
-assert(spark.catalog.tableExists("graft_d10_labels") == false,
-  "d10 must not leak a temp view")
+check(d10rows.nonEmpty, "d10 empty")
+check(!spark.catalog.tableExists("graft_d10_labels"), "d10 must not leak a temp view")
 
-println("[drive] ALL CHECKS PASSED")
-System.exit(0)
+val driveExpected = 15
+if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
+System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
