@@ -257,6 +257,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val filteredOnly = RptConf.filteredBuildsOnly(conf)
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
+    val v2ScanFilter = RptConf.v2ScanFilter(conf)
+    val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
+    // output ExprIds of runtime-filterable v2 relations in a unit plan —
+    // only attrs passing through filters untouched qualify (an aliasing
+    // Project breaks the direct column mapping the v2 engine needs)
+    def v2FilterableAttrs(plan: LogicalPlan): Set[ExprId] = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[org.apache.spark.sql.graft.sources.GraftParquetTable] =>
+        r.output.map(_.exprId)
+    }.flatten.toSet
 
     // keep-fraction gate: a build whose STATIC filter keeps >=
     // maxBuildKeepFraction of the unit's rows is skipped — its bloom
@@ -432,6 +442,24 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
                 sharedScalarAgg("max", Max(bk).toAggregateExpression(),
                   buildPlan, Seq(bk), op.forward, op.build))
             }
+          }
+        }
+        if (v2ScanFilter &&
+            graph.units(op.build).card <= v2ScanMaxBuildRows) {
+          // in-scan transfer for runtime-filterable v2 probe leaves: the
+          // reference's dynamic filter pushdown into LOGICAL_GET
+          // (rpt_optimizer.cpp:1401-1501). The DynamicPruningSubquery
+          // rides to BatchScanExec.runtimeFilters; at execution the build
+          // side's distinct keys reach the scan's filter(), skipping
+          // files/row groups. Only direct relation columns qualify — the
+          // engine cannot translate a computed pruning key into a v2
+          // column reference (it would silently drop the filter anyway).
+          val v2Attrs = v2FilterableAttrs(graph.units(op.probe).plan)
+          op.probeKeys.zip(op.buildKeys).zipWithIndex.foreach {
+            case ((pk: Attribute, _), i) if v2Attrs.contains(pk.exprId) =>
+              conds += DynamicPruningSubquery(pk, buildPlan,
+                op.buildKeys, Seq(i), onlyInBroadcast = false)
+            case _ => ()
           }
         }
         if (conds.nonEmpty) {

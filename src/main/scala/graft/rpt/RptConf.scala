@@ -167,6 +167,26 @@ object RptConf {
    *  scanned repeatedly. */
   val CACHE_BUILDS = "spark.graft.rpt.cacheBuilds"
 
+  /** Push the transfer INTO the scan for runtime-filterable v2 sources
+   *  (`graft-parquet`, Iceberg-class): alongside the bloom-filter probe,
+   *  splice a [[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]]
+   *  on each probe key that is a direct column of a
+   *  `SupportsRuntimeV2Filtering` scan. At execution the build side's
+   *  distinct keys reach the scan's `filter()`, dropping whole FILES by
+   *  footer range and ROW GROUPS by zone map — the reference's dynamic
+   *  filter pushdown into LOGICAL_GET (rpt_optimizer.cpp:1401-1501,
+   *  physical_create_bf.cpp:282-350), which stock Spark only does for
+   *  broadcast-reusable DPP over partition columns. On by default: it
+   *  fires only when the probe leaf is a runtime-filterable v2 relation
+   *  (plain parquet reads are untouched), and costs one distinct-keys
+   *  subquery per probed scan, capped by [[V2_SCAN_FILTER_MAX_BUILD_ROWS]]
+   *  (the key set is collected to the driver). */
+  val V2_SCAN_FILTER = "spark.graft.rpt.v2ScanFilter"
+  /** Skip the in-scan transfer when the build unit exceeds this many rows
+   *  (default 1M — past that the driver-collected IN set costs more than
+   *  file skipping returns; the bloom-filter probe still applies). */
+  val V2_SCAN_FILTER_MAX_BUILD_ROWS = "spark.graft.rpt.v2ScanFilterMaxBuildRows"
+
   /** Accept both camelCase and the reference's snake_case spellings
    *  (`bf_only` == `bfOnly`); unknown values raise rather than silently
    *  falling through to another mode. */
@@ -223,4 +243,8 @@ object RptConf {
     conf.getConfString(LITERAL_BOUNDS, "false").toBoolean
   def cacheBuilds(conf: SQLConf): Boolean =
     conf.getConfString(CACHE_BUILDS, "false").toBoolean
+  def v2ScanFilter(conf: SQLConf): Boolean =
+    conf.getConfString(V2_SCAN_FILTER, "true").toBoolean
+  def v2ScanFilterMaxBuildRows(conf: SQLConf): Long =
+    conf.getConfString(V2_SCAN_FILTER_MAX_BUILD_ROWS, "1048576").toLong
 }

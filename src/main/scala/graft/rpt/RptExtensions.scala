@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60, VectorDot}
+import graft.functions.{Hash60, SimHash48, VectorDot}
 
 /**
  * Session-extension entry point — the analog of the reference's extension
@@ -36,5 +36,9 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
+      (children: Seq[Expression]) => SimHash48(children.head)))
   }
 }

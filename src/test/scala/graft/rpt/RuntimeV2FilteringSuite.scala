@@ -36,6 +36,13 @@ import graft.SparkTestBase
  * If a Spark upgrade makes this suite fail, the gap can be closed for
  * real: wire the probe as a DynamicPruning predicate on the scan's
  * declared filter attributes.
+ *
+ * For tables READ THROUGH the repo's own `graft-parquet` source
+ * (org.apache.spark.sql.graft.sources.GraftParquetScan), the gap IS
+ * closed: that scan implements SupportsRuntimeV2Filtering, and the rule
+ * splices the in-scan transfer alongside the BF probe
+ * (`spark.graft.rpt.v2ScanFilter`, GraftParquetSourceSuite). This suite
+ * remains the record for the STOCK file-source path.
  */
 class RuntimeV2FilteringSuite extends SparkTestBase {
 

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.graft.sources.GraftParquetScan
+import org.apache.spark.sql.types.LongType
+
+import graft.SparkTestBase
+
+/**
+ * The `graft-parquet` DSv2 source: stock parquet reading plus
+ * SupportsRuntimeV2Filtering — runtime join-key values prune files
+ * (driver-side footer ranges) and row groups (pushed filters). This is
+ * the behavior RuntimeV2FilteringSuite records as impossible on the
+ * STOCK file source; this source closes it for opted-in tables.
+ */
+class GraftParquetSourceSuite extends SparkTestBase {
+
+  private lazy val factDir: String = {
+    val dir = Files.createTempDirectory("graft_v2fact_").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/fact.parquet"
+    import spark.implicits._
+    // key-clustered layout: 4 files, each covering a disjoint k range —
+    // the layout where file-level runtime pruning pays
+    (0L until 40000L).map(i => (i, i % 97, s"p$i")).toDF("k", "grp", "payload")
+      .repartitionByRange(4, $"k")
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case s: QueryStageExec => scans(s.plan)
+    case b: BatchScanExec => Seq(b)
+    case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+  }
+
+  test("reads match the stock parquet source") {
+    val v2 = spark.read.format("graft-parquet").load(factDir)
+    val stock = spark.read.parquet(factDir)
+    assert(v2.schema === stock.schema)
+    assert(fingerprint(v2) === fingerprint(stock))
+    // static pushdown is intact through the subclass
+    val filtered = v2.where("k = 17 AND payload = 'p17'")
+    assert(filtered.count() === 1)
+    assert(scans(filtered.queryExecution.executedPlan).nonEmpty)
+  }
+
+  test("filter() with runtime IN values prunes files by footer range") {
+    val df = spark.read.format("graft-parquet").load(factDir).where("grp >= 0")
+    val scan = scans(df.queryExecution.executedPlan).head.scan
+      .asInstanceOf[GraftParquetScan]
+    // the engine-side contract: filter() then plan partitions
+    scan.filter(Array(
+      GraftParquetScan.inPredicate("k", LongType, Seq(123L, 456L))))
+    val parts = scan.toBatch.planInputPartitions()
+    val (before, after) = scan.lastFilePrune.get
+    assert(before === 4, s"expected the 4-file clustered layout, got $before")
+    assert(after === 1,
+      s"both keys live in file 0 — expected 1 surviving file, got $after")
+    assert(parts.nonEmpty)
+  }
+
+  test("stock DPP plans a runtime group filter against the scan; rows reduced") {
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.graft.rpt.enabled" -> "false") {
+      import spark.implicits._
+      val dimDir = Files.createTempDirectory("graft_v2dim_").toFile
+      dimDir.deleteOnExit()
+      val dimPath = s"${dimDir.getAbsolutePath}/dim.parquet"
+      Seq((100L, "keep"), (200L, "keep"), (30000L, "drop"))
+        .toDF("dk", "tag").write.mode("overwrite").parquet(dimPath)
+
+      val fact = spark.read.format("graft-parquet").load(factDir)
+      val dim = spark.read.parquet(dimPath).where("tag = 'keep'")
+      val joined = fact.join(dim, $"k" === $"dk").groupBy().count()
+      assert(joined.collect().map(_.getLong(0)).head === 2L)
+
+      val scanExecs = scans(joined.queryExecution.executedPlan)
+        .filter(_.scan.isInstanceOf[GraftParquetScan])
+      assert(scanExecs.nonEmpty, "expected the graft-parquet BatchScanExec")
+      val withRf = scanExecs.filter(_.runtimeFilters.nonEmpty)
+      assert(withRf.nonEmpty,
+        "expected DPP to plan a runtime group filter against the " +
+          "SupportsRuntimeV2Filtering scan")
+      // the runtime values reached the scan and pruned the clustered files
+      val gs = withRf.head.scan.asInstanceOf[GraftParquetScan]
+      val (before, after) = gs.lastFilePrune.get
+      assert(after < before,
+        s"runtime values should drop key-disjoint files ($before -> $after)")
+      // and the scan read fewer rows than the full 40k corpus
+      val scanned = withRf.head.metrics("numOutputRows").value
+      assert(scanned < 40000L,
+        s"runtime filter should reduce scan output rows, read $scanned")
+    }
+  }
+
+  test("RPT splices the in-scan transfer in the SHUFFLE regime (no broadcast)") {
+    // broadcast off: stock DPP (reuseBroadcastOnly) stands down, so any
+    // runtime filter on the scan comes from the RPT rule's spliced
+    // DynamicPruningSubquery — the reference's dynamic filter pushdown
+    // into LOGICAL_GET, which Spark itself has no shuffle-regime path for
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("graft_v2dim2_").toFile
+    dimDir.deleteOnExit()
+    Seq((100L, "keep"), (200L, "keep"), (30000L, "drop"))
+      .toDF("dk", "tag").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+    Seq((0L, "g0"), (1L, "g1"), (2L, "g2"))
+      .toDF("gk", "gname").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/grp.parquet")
+
+    def run(): org.apache.spark.sql.DataFrame = {
+      val fact = spark.read.format("graft-parquet").load(factDir)
+      val dim = spark.read.parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+        .where("tag = 'keep'")
+      val grp = spark.read.parquet(s"${dimDir.getAbsolutePath}/grp.parquet")
+      fact.join(dim, $"k" === $"dk").join(grp, $"grp" === $"gk")
+        .groupBy($"tag").count()
+    }
+    withConf(
+      "spark.graft.rpt.enabled" -> "true",
+      "spark.graft.rpt.minProbeRows" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val calls0 = GraftParquetScan.filterCalls.get
+      GraftParquetScan.lastFilePruneGlobal = None
+      val on = run()
+      val onRows = fingerprint(on)
+      val factScans = scans(on.queryExecution.executedPlan)
+        .filter(_.scan.isInstanceOf[GraftParquetScan])
+      assert(factScans.exists(_.runtimeFilters.nonEmpty),
+        "RPT should splice a runtime group filter onto the v2 fact scan " +
+          "with broadcast disabled (stock DPP cannot)")
+      // the fact appears in TWO nodes (the main probe and inside the
+      // transfer's build subquery) — assert on whichever instance the
+      // engine runtime-filtered at execution
+      // AQE re-planning rebuilds scan instances between rounds, so the
+      // executing (pruning) instance is not in the final tree — observe
+      // through the companion's JVM-global mirror
+      assert(GraftParquetScan.filterCalls.get > calls0,
+        "the runtime group filter never reached a fact scan's filter()")
+      val (before, after) = GraftParquetScan.lastFilePruneGlobal.get
+      assert(after < before,
+        s"build keys {100, 200} live in one clustered file ($before -> $after)")
+
+      // conf off: no runtime filters spliced
+      val noV2 = withConf("spark.graft.rpt.v2ScanFilter" -> "false") {
+        val df = run(); df.collect()
+        scans(df.queryExecution.executedPlan)
+          .filter(_.scan.isInstanceOf[GraftParquetScan])
+      }
+      assert(noV2.forall(_.runtimeFilters.isEmpty))
+
+      // and the transfer never changes results
+      val off = withConf("spark.graft.rpt.enabled" -> "false")(
+        fingerprint(run()))
+      assert(onRows === off)
+    }
+  }
+
+  test("conflicting second filter() disables pruning instead of over-pruning") {
+    val df = spark.read.format("graft-parquet").load(factDir)
+    val scan = scans(df.queryExecution.executedPlan).head.scan
+      .asInstanceOf[GraftParquetScan]
+    def inPred(v: Long) =
+      GraftParquetScan.inPredicate("k", LongType, Seq(v))
+    scan.filter(Array(inPred(123L)))
+    scan.filter(Array(inPred(39000L))) // a different consumer's values
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length >= 4 || parts.map(_.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.FilePartition]
+      .files.length).sum === 4,
+      "conflicting filters must fall back to the unpruned file set")
+  }
+}

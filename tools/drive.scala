@@ -111,6 +111,25 @@ println(s"[drive] d10_cluster_survivors rows=${d10rows.length}")
 check(d10rows.nonEmpty, "d10 empty")
 check(!spark.catalog.tableExists("graft_d10_labels"), "d10 must not leak a temp view")
 
-val driveExpected = 15
+// --- round 8: graft-parquet v2 source + in-scan runtime transfer ---
+// service-loader registration ("graft-parquet" short name) must resolve
+// from the packaged jar; with broadcast off the rule splices the
+// DynamicPruningSubquery and the build keys must reach the scan's filter()
+val v2calls0 = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get
+val v2fact = spark.read.format("graft-parquet").load(s"$sf/lineitem.parquet")
+val v2dim = spark.read.parquet(s"$sf/orders.parquet").where("o_totalprice < 20000")
+val v2cust = spark.read.parquet(s"$sf/customer.parquet")
+val v2q = v2fact.join(v2dim, v2fact("l_orderkey") === v2dim("o_orderkey")).join(v2cust, v2dim("o_custkey") === v2cust("c_custkey")).groupBy().count()
+val v2onRes = v2q.collect().head.getLong(0)
+val v2called = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get > v2calls0
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val v2q2 = v2fact.join(v2dim, v2fact("l_orderkey") === v2dim("o_orderkey")).join(v2cust, v2dim("o_custkey") === v2cust("c_custkey")).groupBy().count()
+val v2offRes = v2q2.collect().head.getLong(0)
+spark.conf.set("spark.graft.rpt.enabled", "true")
+println(s"[drive] v2source rows=$v2onRes filterCalled=$v2called resultsEqual=${v2onRes == v2offRes}")
+check(v2onRes == v2offRes, "v2 source: in-scan transfer changed results")
+check(v2called, "v2 source: runtime keys never reached the scan's filter()")
+
+val driveExpected = 17
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
