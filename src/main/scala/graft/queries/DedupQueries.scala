@@ -58,13 +58,10 @@ object DedupQueries {
   // results are unchanged; at 100 TB it is the standard stop-shingle cap.
   val hotShingleDf = 64
 
-  // 8 fixed universal-hash (a, b) pairs for the MinHash permutations:
-  // odd multipliers < 2^26 so a * hb < 2^56 stays overflow-safe in both
-  // engines' BIGINT arithmetic
-  private[graft] val minhashAB = Seq(
-    (12582917L, 29123L), (23456789L, 399491L), (14348907L, 735632L),
-    (28629151L, 104729L), (17895697L, 999331L), (21233231L, 77611L),
-    (19487171L, 555557L), (25357351L, 11939L))
+  // 8 fixed universal-hash (a, b) pairs for the MinHash permutations —
+  // the single source of truth lives beside the native one-pass
+  // expression so the SQL and in-row forms cannot drift
+  private[graft] val minhashAB = graft.functions.MinHash8.AB
   private val minhashCols = minhashAB.zipWithIndex.map { case ((a, b), i) =>
     s"min((hb * $a + $b) % 1073741789) AS mh$i"
   }.mkString(", ")

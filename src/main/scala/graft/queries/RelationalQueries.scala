@@ -528,6 +528,35 @@ object RelationalQueries {
         |  AND p3.p_size BETWEEN 20 AND 25
         |  AND l1.l_quantity >= 40""".stripMargin),
 
+    // The chain through the graft-parquet v2 source: same semantics as a
+    // stock read (the oracle reads the same files), but the RPT rule's
+    // in-scan transfer (v2ScanFilter) and the stock DPP path both light
+    // up on these scans — this row keeps the source itself under the
+    // external hash gate, not just its suite.
+    QueryDef("q37_v2_scan_transfer",
+      (spark, sfDir) => {
+        val l = spark.read.format("graft-parquet")
+          .load(s"$sfDir/lineitem.parquet")
+        val o = spark.read.format("graft-parquet")
+          .load(s"$sfDir/orders.parquet").where("o_totalprice < 20000")
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment"))
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt"),
+            org.apache.spark.sql.functions.min(l("l_orderkey")).as("min_ok"),
+            org.apache.spark.sql.functions.max(l("l_orderkey")).as("max_ok"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE o_totalprice < 20000
+         |GROUP BY c_mktsegment""".stripMargin)),
+
     // JSON-ish props column
     dialect("q26_events_json",
       """SELECT event_type,

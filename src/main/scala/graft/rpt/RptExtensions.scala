@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60, SimHash48, VectorDot}
+import graft.functions.{Hash60, MinHash8, RepStats, SimHash48, VectorDot}
 
 /**
  * Session-extension entry point — the analog of the reference's extension
@@ -40,5 +40,13 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
       (children: Seq[Expression]) => SimHash48(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "graft_minhash8"),
+      (children: Seq[Expression]) => MinHash8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) => RepStats(children.head)))
   }
 }

@@ -262,34 +262,24 @@ object StreamingOps {
       maxTopWordFrac: Double = graft.queries.TextQueries.TopWordFracMax,
       maxDup2GramFrac: Double = graft.queries.TextQueries.DupGramFracMax)
       : DataFrame =
+    // integer repetition stats in one native pass (graft.functions
+    // .RepStats: top multiplicity + distinct adjacent 2-grams — equal to
+    // the batch t06 counts); fraction DOUBLES stay in SQL so stream and
+    // batch round identically. The HOF form measured 4.7 s at sf1.
     docs
-      .withColumn("graft_toks", split(col("text"), " "))
-      .withColumn("graft_grams", expr(
-        """zip_with(slice(graft_toks, 1, size(graft_toks) - 1),
-          |         slice(graft_toks, 2, size(graft_toks) - 1),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
-      // top count = longest equal-run of the sorted token array (exactly
-      // the (doc_id, tok) count max of batch t06, without the quadratic
-      // distinct × filter scan)
-      .withColumn("top_word_frac", expr(
-        """CAST(aggregate(array_sort(graft_toks),
-          |  struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
-          |  (acc, t) -> struct(t AS prev,
-          |    CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END AS run,
-          |    greatest(acc.best,
-          |      CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END) AS best),
-          |  acc -> acc.best) AS DOUBLE)
-          |  / size(graft_toks)""".stripMargin))
+      .withColumn("graft_rs", expr("graft_repstats(split(text, ' '))"))
+      .withColumn("top_word_frac",
+        expr("CAST(graft_rs.top_cnt AS DOUBLE) / graft_rs.n_tok"))
       .withColumn("dup_2gram_frac", expr(
-        """CASE WHEN size(graft_grams) > 0
+        """CASE WHEN graft_rs.n_grams > 0
           |     THEN CAST(1 AS DOUBLE)
-          |          - CAST(size(array_distinct(graft_grams)) AS DOUBLE)
-          |            / size(graft_grams)
+          |          - CAST(graft_rs.distinct_grams AS DOUBLE)
+          |            / graft_rs.n_grams
           |     ELSE CAST(0 AS DOUBLE) END""".stripMargin))
       .withColumn("keep",
         col("top_word_frac") <= maxTopWordFrac &&
           col("dup_2gram_frac") <= maxDup2GramFrac)
-      .drop("graft_toks", "graft_grams")
+      .drop("graft_rs")
 
   /** Deterministic hash sampling — the streaming form of batch t05: keep a
    *  row iff its doc_id hashes under `ratePct` (0–100; any per-row
@@ -353,18 +343,16 @@ object StreamingOps {
         """transform(array_distinct(transform(sequence(1, size(graft_w) - 2),
           |  i -> graft_hash60(concat_ws(' ', slice(graft_w, i, 3))))),
           |  h -> h % 1073741789)""".stripMargin))
-    val withMins = graft.queries.DedupQueries.minhashAB.zipWithIndex
-      .foldLeft(base) { case (df, ((a, b), i)) =>
-        df.withColumn(s"graft_mh$i",
-          expr(s"array_min(transform(graft_hb, x -> (x * $a + $b) % 1073741789))"))
-      }
-    withMins
+    // one native pass for all 8 permutation minima (graft.functions
+    // .MinHash8) — the 8-lambda HOF form measured 6.4 s at sf1
+    base
+      .withColumn("graft_mins", expr("graft_minhash8(graft_hb)"))
       .select(col("doc_id"), expr(
         """explode(array(
-          |  struct(0 AS band, concat(graft_mh0, ':', graft_mh1) AS sig),
-          |  struct(1 AS band, concat(graft_mh2, ':', graft_mh3) AS sig),
-          |  struct(2 AS band, concat(graft_mh4, ':', graft_mh5) AS sig),
-          |  struct(3 AS band, concat(graft_mh6, ':', graft_mh7) AS sig)))"""
+          |  struct(0 AS band, concat(graft_mins[0], ':', graft_mins[1]) AS sig),
+          |  struct(1 AS band, concat(graft_mins[2], ':', graft_mins[3]) AS sig),
+          |  struct(2 AS band, concat(graft_mins[4], ':', graft_mins[5]) AS sig),
+          |  struct(3 AS band, concat(graft_mins[6], ':', graft_mins[7]) AS sig)))"""
           .stripMargin).as("bd"))
       .select(col("doc_id"), col("bd.band"), col("bd.sig"))
   }
