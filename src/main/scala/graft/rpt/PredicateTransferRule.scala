@@ -457,7 +457,15 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           val v2Attrs = v2FilterableAttrs(graph.units(op.probe).plan)
           op.probeKeys.zip(op.buildKeys).zipWithIndex.foreach {
             case ((pk: Attribute, _), i) if v2Attrs.contains(pk.exprId) =>
-              conds += DynamicPruningSubquery(pk, buildPlan,
+              // the BUILD side may itself be a v2 relation (both ends of
+              // q37 read graft-parquet): like scalarAgg, the captured
+              // plan must have its v2 scans built NOW — later batches
+              // never traverse freshly-injected subqueries, and AQE's
+              // standalone-subquery compile (the shuffle regime, where
+              // no broadcast exchange is reusable) would hit
+              // "No plan for RelationV2"
+              conds += DynamicPruningSubquery(pk,
+                SqlBridge.planV2Scans(buildPlan),
                 op.buildKeys, Seq(i), onlyInBroadcast = false)
             case _ => ()
           }

@@ -163,6 +163,56 @@ class GraftParquetSourceSuite extends SparkTestBase {
     }
   }
 
+  test("both sides v2: build subquery over a graft-parquet dim still plans") {
+    // q37's sf1 shape: the BUILD side is itself a graft-parquet read. The
+    // spliced DynamicPruningSubquery captures the build plan AFTER the
+    // optimizer's one-shot V2ScanRelationPushDown pass, and no later
+    // batch traverses freshly-injected subqueries — without planV2Scans
+    // at capture time, AQE's standalone subquery compile (shuffle
+    // regime, no reusable broadcast) dies with "No plan for RelationV2".
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("graft_v2dim3_").toFile
+    dimDir.deleteOnExit()
+    Seq((100L, "keep"), (200L, "keep"), (30000L, "drop"))
+      .toDF("dk", "tag").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+
+    def run(): org.apache.spark.sql.DataFrame = {
+      val fact = spark.read.format("graft-parquet").load(factDir)
+      val dim = spark.read.format("graft-parquet")
+        .load(s"${dimDir.getAbsolutePath}/dim.parquet").where("tag = 'keep'")
+      fact.join(dim, $"k" === $"dk").groupBy($"tag").count()
+    }
+    withConf(
+      "spark.graft.rpt.enabled" -> "true",
+      "spark.graft.rpt.minProbeRows" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val on = run()
+      // the invariant the sf1 crash violated: every spliced
+      // DynamicPruningSubquery plan must carry BUILT v2 scans — an
+      // unconverted DataSourceV2Relation dies in AQE's standalone
+      // subquery compile ("No plan for RelationV2"), a path the tiny
+      // fixture's plans don't reach but sf1's do
+      import org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      val dpps = on.queryExecution.optimizedPlan.collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect {
+          case d: DynamicPruningSubquery => d
+        })
+      }.flatten
+      assert(dpps.nonEmpty, "expected an RPT-spliced DPP subquery")
+      dpps.foreach(d => assert(
+        !d.plan.exists(_.isInstanceOf[DataSourceV2Relation]),
+        s"unconverted v2 relation inside a DPP build plan:\n${d.plan}"))
+      val onRows = fingerprint(on)
+      assert(scans(on.queryExecution.executedPlan)
+        .exists(_.runtimeFilters.nonEmpty))
+      val off = withConf("spark.graft.rpt.enabled" -> "false")(
+        fingerprint(run()))
+      assert(onRows === off)
+    }
+  }
+
   test("conflicting second filter() disables pruning instead of over-pruning") {
     val df = spark.read.format("graft-parquet").load(factDir)
     val scan = scans(df.queryExecution.executedPlan).head.scan
