@@ -49,7 +49,13 @@ object Hash60 {
   def hash60(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    fromDigest(md.digest(s.getBytes))
+  }
+
+  /** First 60 bits of an md5 digest (bytes 0..6 + high nibble of 7) —
+    * shared with [[ShingleHashes60]], which streams token bytes into the
+    * digest instead of materializing the shingle string. */
+  def fromDigest(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) {

@@ -2,9 +2,10 @@ package graft.rpt
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.BooleanType
 
-import graft.functions.{Hash60, MinHash8, RepStats, SimHash48, VectorDot}
+import graft.functions.{Hash60, MinHash8, RepStats, ShingleHashes60, SimHash48, VectorDot}
 
 /**
  * Session-extension entry point — the analog of the reference's extension
@@ -48,5 +49,16 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_repstats"),
       new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
       (children: Seq[Expression]) => RepStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles60"),
+      new ExpressionInfo(classOf[ShingleHashes60].getName, "graft_shingles60"),
+      // optional second arg: mod-P reduction (default true, the minhash
+      // convention); FALSE keeps full 60-bit hashes (shingle-join ops)
+      (children: Seq[Expression]) => ShingleHashes60(children.head,
+        children.drop(1).headOption.forall {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles60: second argument must be a BOOLEAN literal, got $other")
+        })))
   }
 }

@@ -226,10 +226,9 @@ object StreamingOps {
     docs
       .withColumn("graft_w", split(col("text"), " "))
       .where(size(col("graft_w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(graft_w) - 2),
-          |  i -> graft_hash60(concat_ws(' ', slice(graft_w, i, 3)))))"""
-          .stripMargin)).as("h"))
+      // full 60-bit hashes (modP = false): d03/d07 join on the FULL hash
+      .select(col("doc_id"),
+        explode(expr("graft_shingles60(graft_w, false)")).as("h"))
 
   /** Ingest-time benchmark decontamination — the streaming analog of batch
    *  d07: the stream's per-document shingle hashes equi-join a STATIC
@@ -339,10 +338,11 @@ object StreamingOps {
     val base = docs
       .withColumn("graft_w", split(col("text"), " "))
       .where(size(col("graft_w")) >= 3)
-      .withColumn("graft_hb", expr(
-        """transform(array_distinct(transform(sequence(1, size(graft_w) - 2),
-          |  i -> graft_hash60(concat_ws(' ', slice(graft_w, i, 3))))),
-          |  h -> h % 1073741789)""".stripMargin))
+      // one native pass for tokenized shingling + md5 + distinct + mod
+      // (graft.functions.ShingleHashes60) — the HOF composition
+      // (transform/array_distinct/slice/concat_ws lambdas, which never
+      // codegen) measured 6.1 s at sf1 vs 2.2 s for the batch twin
+      .withColumn("graft_hb", expr("graft_shingles60(graft_w)"))
     // one native pass for all 8 permutation minima (graft.functions
     // .MinHash8) — the 8-lambda HOF form measured 6.4 s at sf1
     base

@@ -29,6 +29,37 @@ class FunctionsSuite extends SparkTestBase {
     }
   }
 
+  test("graft_shingles60 == HOF composition on fixture docs + edge cases") {
+    import spark.implicits._
+    // real corpus text plus the edge shapes the SQL form defines behavior
+    // for: <3 tokens (empty result), consecutive spaces (empty tokens),
+    // repeated shingles (distinct on the FULL hash, first occurrence),
+    // unicode
+    val docs = tables("documents").select("text").limit(300).as[String]
+      .collect().toSeq ++ Seq(
+      "", "one", "two words", "a b c", "a b c d",
+      "x  y   z  w", "dup dup dup dup dup", "漢字 テスト 文字 列")
+    val df = docs.toDF("text")
+      .selectExpr("split(text, ' ') AS w").where("size(w) >= 0")
+    df.createOrReplaceTempView("sh60_docs")
+    Seq(true, false).foreach { mod =>
+      val modded =
+        if (mod) "h -> h % 1073741789" else "h -> h"
+      val rows = spark.sql(
+        s"""SELECT graft_shingles60(w, $mod) AS fast,
+           |       CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+           |            ELSE transform(array_distinct(
+           |              transform(sequence(1, size(w) - 2),
+           |                i -> graft_hash60(concat_ws(' ', slice(w, i, 3))))),
+           |              $modded) END AS slow
+           |FROM sh60_docs""".stripMargin).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"shingles60(mod=$mod) mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("graft_dot == aggregate(zip_with(...)) incl. null/length-mismatch") {
     val rows = spark.sql(
       """SELECT graft_dot(a, b) AS fast,
