@@ -215,6 +215,9 @@ class GraftParquetScan(base: ParquetScan)
     }
     lastFilePrune = Some((base.map(_.files.length).sum, kept.map(_.length).sum))
     GraftParquetScan.lastFilePruneGlobal = lastFilePrune
+    GraftParquetScan.lastBytePruneGlobal = Some((
+      base.map(_.files.map(_.fileSize).sum).sum,
+      kept.map(_.map(_.fileSize).sum).sum))
     kept.zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }
   }
 
@@ -248,6 +251,9 @@ object GraftParquetScan {
     * regardless of which instance the engine drove. */
   val filterCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var lastFilePruneGlobal: Option[(Int, Int)] = None
+  // (bytes before, bytes after) of the same prune — the WORK metric:
+  // local wall-clock hides file-skip wins once everything is page-cached
+  @volatile var lastBytePruneGlobal: Option[(Long, Long)] = None
 
   /** Engine-shaped runtime IN predicate — `FieldReference`/`LiteralValue`
     * are `private[sql]`, so tests outside the bridge build theirs here. */
