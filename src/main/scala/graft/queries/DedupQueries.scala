@@ -25,12 +25,15 @@ object DedupQueries {
   // strings (the strings exist only partition-locally, pre-hash).
   // Docs with <3 tokens produce no shingles (guarded explicitly: Spark's
   // sequence(1, 0) yields DESCENDING [1, 0] and slice(w, 0, 3) then throws)
+  // graft_shingles60 (graft.functions.ShingleHashes60) computes the
+  // per-doc DISTINCT shingle-hash set in one native in-row pass, so no
+  // DISTINCT shuffle remains — the old explode + DISTINCT form moved
+  // every (doc_id, shingle) pair through a full aggregate first
   private[queries] def sparkShinglesFrom(rel: String): String =
-    s"""SELECT DISTINCT doc_id,
-       |       graft_hash60(concat_ws(' ', slice(w, i, 3))) AS h
+    s"""SELECT doc_id, h
        |FROM (SELECT doc_id, split(text, ' ') AS w FROM $rel
        |      WHERE size(split(text, ' ')) >= 3) d
-       |LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i""".stripMargin
+       |LATERAL VIEW explode(graft_shingles60(w, false)) t AS h""".stripMargin
   private[queries] val sparkShingles = sparkShinglesFrom("documents")
 
   // unnest(range(...)) instead of lateral generate_series (DuckDB's binder
@@ -77,17 +80,22 @@ object DedupQueries {
 
   // d04's pipeline as reusable CTE fragments (d04 itself, d08's cluster
   // closure, and p04's leakage-safe split all build on the same pair graph)
+  // the whole shingle -> minhash pipeline runs in-row (ShingleHashes60 +
+  // MinHash8, both native): no shingle explode, no per-permutation
+  // GROUP BY shuffle — a document enters the exchange only as its 4
+  // (band, sig) keys. Bit-identical to the old sh/shh/hs CTE chain
+  // (same hashes, same AB constants via minhashAB).
   private[graft] def sparkMinhashCtesFrom(rel: String): String =
-    s"""sh AS (${sparkShinglesFrom(rel)}),
-       |shh AS (SELECT doc_id, h % 1073741789 AS hb FROM sh),
-       |hs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+    s"""hs AS (
+       |  SELECT doc_id, graft_minhash8(graft_shingles60(split(text, ' '))) AS mh
+       |  FROM $rel WHERE size(split(text, ' ')) >= 3),
        |bands AS (
        |  SELECT doc_id, b.band, b.sig FROM hs
        |  LATERAL VIEW explode(array(
-       |    struct(0 AS band, concat(mh0, ':', mh1) AS sig),
-       |    struct(1 AS band, concat(mh2, ':', mh3) AS sig),
-       |    struct(2 AS band, concat(mh4, ':', mh5) AS sig),
-       |    struct(3 AS band, concat(mh6, ':', mh7) AS sig))) t AS b)""".stripMargin
+       |    struct(0 AS band, concat(mh[0], ':', mh[1]) AS sig),
+       |    struct(1 AS band, concat(mh[2], ':', mh[3]) AS sig),
+       |    struct(2 AS band, concat(mh[4], ':', mh[5]) AS sig),
+       |    struct(3 AS band, concat(mh[6], ':', mh[7]) AS sig))) t AS b)""".stripMargin
   private[graft] val sparkMinhashCtes: String = sparkMinhashCtesFrom("documents")
 
   private[queries] def duckMinhashCtesFrom(rel: String): String =
