@@ -90,12 +90,18 @@ object DedupQueries {
        |  SELECT doc_id, graft_minhash8(graft_shingles60(split(text, ' '))) AS mh
        |  FROM $rel WHERE size(split(text, ' ')) >= 3),
        |bands AS (
-       |  SELECT doc_id, b.band, b.sig FROM hs
+       |  SELECT /*+ REPARTITION(band, sig) */ doc_id, b.band, b.sig FROM hs
        |  LATERAL VIEW explode(array(
        |    struct(0 AS band, concat(mh[0], ':', mh[1]) AS sig),
        |    struct(1 AS band, concat(mh[2], ':', mh[3]) AS sig),
        |    struct(2 AS band, concat(mh[4], ':', mh[5]) AS sig),
        |    struct(3 AS band, concat(mh[6], ':', mh[7]) AS sig))) t AS b)""".stripMargin
+  // ^ the REPARTITION exchange is load-bearing, not a tuning knob: the
+  // pair join self-joins `bands`, and without an exchange below it each
+  // join side (broadcast build + probe) would recompute the whole in-row
+  // md5/minhash derivation — the exchange is what ReuseExchange dedups,
+  // and it doubles as the join's (band, sig) co-partitioning (measured:
+  // d04 at sf1 3.6 s without it, 2.2 s with)
   private[graft] val sparkMinhashCtes: String = sparkMinhashCtesFrom("documents")
 
   private[queries] def duckMinhashCtesFrom(rel: String): String =
