@@ -55,8 +55,16 @@ object StreamingQueries {
       else
         spark.readStream.schema(schema)
           .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+    drain(spark, op(src))
+  }
+
+  /** Starts `streamed` (a plan over one or more readStream sources),
+    * drains to completion — including the no-data micro-batch that fires
+    * event-time timeouts and append-mode window emission after the final
+    * watermark advance — and returns the sink contents. */
+  private def drain(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val query = op(src).writeStream.format("memory").queryName(name)
+    val query = streamed.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try query.processAllAvailable()
     finally query.stop()
@@ -66,6 +74,49 @@ object StreamingQueries {
     val out = spark.table(name)
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /** Sentinel suffix on `event_type` marking the watermark-advancing row;
+    * every gated query filters it (or its effects) back out. */
+  private val Sentinel = "__graft_sentinel"
+
+  /** The `events` fixture as a STREAMABLE directory: ts converted from
+    * raw nanos to a real timestamp (the batch `loadTables` convention,
+    * exact integer division) plus ONE far-future sentinel event (+4 h,
+    * user_id/event_id −1). The sentinel is what makes event-time
+    * operators gateable at all: append-mode windowed aggregates and
+    * event-time timeouts only EMIT once the watermark passes them, and a
+    * drain-to-completion run of the bare fixture ends with its final
+    * windows still open. The sentinel advances the global watermark past
+    * every real window/gap/session, so the drained output is the
+    * operator's complete answer — comparable row-for-row to the batch
+    * oracle. Written once per (session, sfDir); one file ⇒ deterministic
+    * single-batch arrival. */
+  private val evDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def eventStreamDir(spark: SparkSession, sfDir: String): String =
+    evDirs.getOrElseUpdate(s"${spark.hashCode}:$sfDir", {
+      import org.apache.spark.sql.functions._
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxTs = raw.agg(max("ts")).head.getTimestamp(0)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(Sentinel).as("event_type"),
+        lit(0.0).as("value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_evstream_").toFile
+      dir.deleteOnExit()
+      raw.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
+    })
+
+  private def dirStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -168,6 +219,76 @@ object StreamingQueries {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
          |  FROM tok)
          |SELECT source, doc_id, CAST(off0 // 512 AS BIGINT) AS chunk_id
-         |FROM off""".stripMargin))
+         |FROM off""".stripMargin)),
+
+    // ---- event-time operators (v08–v11): gated through the sentinel
+    // fixture (eventStreamDir) — the watermark-advancing row is what
+    // lets append-mode windows, session timeouts, and dedup state fully
+    // EMIT in a drain-to-completion run, closing the "suite-only" gap
+    // the r07 verdict flagged for exactly these four ops.
+
+    // q24's hourly window aggregate, computed by the watermarked
+    // streaming rollup. The sentinel's own window stays OPEN (the
+    // watermark never passes it) and its type is filtered for safety.
+    QueryDef("v08_stream_hourly_rollup",
+      (spark, sfDir) => drain(spark, StreamingOps.hourlyRollup(
+          dirStream(spark, eventStreamDir(spark, sfDir))))
+        .where(s"event_type <> '$Sentinel'"),
+      RelationalQueries.defs.find(_.name == "q24_events_hourly").get.oracle),
+
+    // q25's gap sessionization via flatMapGroupsWithState with
+    // event-time timeouts: the sentinel advances the watermark past
+    // every user's last+gap, so ALL sessions close and the per-user
+    // session counts equal the batch window-function oracle.
+    QueryDef("v09_stream_sessionize",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val sessions = drain(spark, StreamingOps.sessionize(
+          dirStream(spark, eventStreamDir(spark, sfDir))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .as[graft.streaming.Event], gapSeconds = 1800,
+          watermark = "30 minutes").toDF())
+        sessions.where("user_id >= 0").groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_sessions"))
+      },
+      RelationalQueries.defs.find(_.name == "q25_events_sessionize").get.oracle),
+
+    // Stream-stream interval join (click → purchase attribution within
+    // 10 min). Inner-join matches emit eagerly; the sentinel (filtered
+    // out by the type predicates before it reaches either side) is not
+    // needed for emission, only for state cleanup — included via the
+    // shared fixture anyway.
+    QueryDef("v10_stream_interval_join",
+      (spark, sfDir) => {
+        val dir = eventStreamDir(spark, sfDir)
+        val out = drain(spark, StreamingOps.intervalJoin(
+          dirStream(spark, dir).where("event_type = 'click'"),
+          dirStream(spark, dir).where("event_type = 'purchase'")))
+        out.selectExpr("user_id", "l_event_id", "r_event_id",
+          "unix_micros(l_ts) AS l_us", "unix_micros(r_ts) AS r_us")
+      },
+      Some("""SELECT l.user_id, l.event_id AS l_event_id,
+         |       r.event_id AS r_event_id,
+         |       epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+         |FROM events l JOIN events r
+         |  ON l.user_id = r.user_id
+         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+         |WHERE l.event_type = 'click'
+         |  AND r.event_type = 'purchase'""".stripMargin)),
+
+    // Watermarked exact dedup (dropDuplicatesWithinWatermark). WHICH
+    // duplicate survives is arrival-order-dependent, so the gated
+    // projection is the content-hash SET — one row per distinct hash,
+    // no duplicate emitted twice, no hash dropped.
+    QueryDef("v11_stream_dedup_exact",
+      (spark, sfDir) => runStream(spark, sfDir, "documents")(docs =>
+        StreamingOps.dedupExact(docs.withColumn("ts",
+          // offset: a row AT the initial watermark (epoch 0) would be
+          // dropped as late before it ever reached the dedup state
+          org.apache.spark.sql.functions.expr(
+            "timestamp_micros(1000000000 + doc_id)"))))
+        .selectExpr("md5(text) AS h"),
+      Some("SELECT DISTINCT md5(text) AS h FROM documents"))
   )
 }

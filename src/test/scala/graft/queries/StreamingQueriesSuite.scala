@@ -52,4 +52,20 @@ class StreamingQueriesSuite extends SparkTestBase {
     assert(fromFile.count() ===
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
   }
+
+  test("v08 sentinel advances the watermark: every closed window emits") {
+    // The event-time gates (v08–v11) hinge on one mechanism: a far-future
+    // sentinel row advancing the global watermark so append-mode state
+    // fully emits in a drain-to-completion run. Pin it end to end against
+    // the batch q24 aggregate (same rows, win-for-win), including that
+    // the sentinel's own (still-open) window never leaks into the output.
+    val v08 = StreamingQueries.defs.find(_.name == "v08_stream_hourly_rollup").get
+    val streamed = v08.fn(spark, sfDir)
+    val batch = RelationalQueries.defs.find(_.name == "q24_events_hourly").get
+      .fn(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed hourly rollup must equal the batch window aggregate")
+    assert(streamed.where("event_type LIKE '%sentinel%'").isEmpty)
+  }
 }
