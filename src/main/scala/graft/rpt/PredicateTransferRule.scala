@@ -327,6 +327,31 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         }
       })
 
+    // The v2 in-scan gate guards the DRIVER-side IN-set the engine
+    // collects (InSubqueryExec values), so it should key on the FILTERED
+    // build where an estimate exists: at warehouse scale a dim is huge
+    // unfiltered but tiny after its static predicate, and gating on the
+    // raw unit card would stand the transfer down exactly where it pays
+    // most (the reference pushes its dynamic filter regardless of build
+    // size — the IN values are whatever survived). Estimate preference
+    // mirrors the keep-fraction gate: CBO filtered rowCount (absent
+    // column stats FilterEstimation returns "keeps all", which is
+    // conservative here), a planning-time count under the opt-in
+    // runtimeSizedBuilds flag (TTL-cached), else the unfiltered card.
+    // Memoized per build unit off its first snapshot — pass-to-pass
+    // snapshot differences only tighten the filter, never loosen it.
+    val v2GateMemo = mutable.HashMap[Int, Boolean]()
+    def v2BuildSmallEnough(id: Int, buildPlan: LogicalPlan): Boolean =
+      v2GateMemo.getOrElseUpdate(id, {
+        val u = graph.units(id)
+        u.card <= v2ScanMaxBuildRows ||
+        (conf.cboEnabled && buildPlan.stats.rowCount
+          .exists(_.toDouble <= v2ScanMaxBuildRows)) ||
+        (runtimeGate && u.cardMeasured && selectivelyFiltered(u.plan) &&
+          RuntimeCounts.count(u.plan)
+            .exists(_.toDouble <= v2ScanMaxBuildRows))
+      })
+
     ops.foreach { op =>
       if (!inBackward && !op.forward) {
         inBackward = true
@@ -444,8 +469,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             }
           }
         }
-        if (v2ScanFilter &&
-            graph.units(op.build).card <= v2ScanMaxBuildRows) {
+        if (v2ScanFilter && v2BuildSmallEnough(op.build, buildPlan)) {
           // in-scan transfer for runtime-filterable v2 probe leaves: the
           // reference's dynamic filter pushdown into LOGICAL_GET
           // (rpt_optimizer.cpp:1401-1501). The DynamicPruningSubquery

@@ -213,6 +213,63 @@ class GraftParquetSourceSuite extends SparkTestBase {
     }
   }
 
+  test("v2 gate keys on the FILTERED build size when an estimate exists") {
+    // warehouse shape: the dim's UNFILTERED card exceeds the cap but its
+    // static predicate keeps almost nothing — the gate must use the
+    // filtered estimate (here the opt-in runtime count) and still splice
+    // the 3-table shape of the shuffle-regime test above — the shape
+    // where STOCK v2 runtime filtering stands down (its noV2 check pins
+    // that), so every runtime filter observed here is the RPT splice
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("graft_v2dim4_").toFile
+    dimDir.deleteOnExit()
+    Seq((100L, "keep"), (200L, "keep"), (30000L, "drop"))
+      .toDF("dk", "tag").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+    Seq((0L, "g0"), (1L, "g1"), (2L, "g2"))
+      .toDF("gk", "gname").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/grp.parquet")
+
+    def run(): org.apache.spark.sql.DataFrame = {
+      val fact = spark.read.format("graft-parquet").load(factDir)
+      val dim = spark.read.parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+        .where("tag = 'keep'")
+      val grp = spark.read.parquet(s"${dimDir.getAbsolutePath}/grp.parquet")
+      fact.join(dim, $"k" === $"dk").join(grp, $"grp" === $"gk")
+        .groupBy($"tag").count()
+    }
+    withConf(
+      "spark.graft.rpt.enabled" -> "true",
+      "spark.graft.rpt.minProbeRows" -> "0",
+      // cap below the dim's unfiltered card (3) but >= its filtered
+      // count (2)
+      "spark.graft.rpt.v2ScanFilterMaxBuildRows" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // AQE rebuilds scan instances, so assert on the rule's OUTPUT (the
+      // spliced DPP expression in the optimized plan), not on the final
+      // tree's runtimeFilters
+      import org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery
+      // onlyInBroadcast=false is the rule's signature — stock
+      // PartitionPruning inserts reuse-only (true) subqueries that are
+      // planned away without a reusable broadcast
+      def dppCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collectWithSubqueries {
+          case p => p.expressions.flatMap(_.collect {
+            case d: DynamicPruningSubquery if !d.onlyInBroadcast => d })
+        }.flatten.size
+      // without a filtered estimate the raw card gates the splice off
+      assert(dppCount(run()) === 0,
+        "raw card 3 > cap 2 must gate the in-scan transfer off")
+      // runtimeSizedBuilds provides the measured filtered count (2 <= 2)
+      withConf("spark.graft.rpt.runtimeSizedBuilds" -> "true") {
+        assert(dppCount(run()) > 0,
+          "measured filtered count 2 <= cap 2 must re-enable the splice")
+        assert(fingerprint(run()) ===
+          withConf("spark.graft.rpt.enabled" -> "false")(fingerprint(run())))
+      }
+    }
+  }
+
   test("conflicting second filter() disables pruning instead of over-pruning") {
     val df = spark.read.format("graft-parquet").load(factDir)
     val scan = scans(df.queryExecution.executedPlan).head.scan
