@@ -277,17 +277,22 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     //    estimated filtered output, the leaf's rowCount/footers the
     //    unfiltered total;
     //  - a planning-time count when runtimeSizedBuilds opted in (the flag
-    //    already pays for counts; TTL-cached per unit shape).
+    //    already pays for counts; TTL-cached per unit shape);
+    //  - the footer min/max uniform estimate (FooterStats) — the
+    //    default-path source, defined only for all-range filters so it
+    //    can never stand down a build whose selectivity hides in an
+    //    equality/IN/LIKE conjunct footers can't see.
     // Memoized per unit; only applied when the unit's OWN static filter is
     // what qualified it (a transitively-reduced unit's count would measure
     // the unfiltered table and wrongly gate).
     val runtimeGate = RptConf.runtimeSizedBuilds(conf)
+    val footerGate = RptConf.footerKeepGate(conf)
     val keepFrac = RptConf.maxBuildKeepFraction(conf)
     val keepGateMemo = mutable.HashMap[Int, Boolean]()
     def measuredUnselective(id: Int): Boolean =
-      // quick exit on the default path: with neither stats source enabled
-      // the gate can never fire — don't even pay the footer reads
-      (runtimeGate || conf.cboEnabled) &&
+      // quick exit when every stats source is disabled — the gate can
+      // never fire, don't even pay the footer reads
+      (runtimeGate || conf.cboEnabled || footerGate) &&
       keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
         val u = graph.units(id)
         selectivelyFiltered(u.plan) && {
@@ -321,6 +326,9 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
                 if (runtimeGate && u.cardMeasured) {
                   RuntimeCounts.count(u.plan).map(_.toDouble)
                 } else None
+              }.orElse {
+                if (footerGate) FooterStats.keepFraction(u.plan).map(_ * tot)
+                else None
               }.exists(_ >= keepFrac * tot)
             }
           }

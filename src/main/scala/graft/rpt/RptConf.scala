@@ -125,19 +125,31 @@ object RptConf {
    *  rows (default 1M ≈ 1.5 MB of bloom filter at 12 bits/key — the point
    *  where mis-sizing starts to matter for broadcast bytes). */
   val RUNTIME_SIZING_MIN_ROWS = "spark.graft.rpt.runtimeSizingMinRows"
-  /** Measured-selectivity payoff gate (active only with
-   *  [[RUNTIME_SIZED_BUILDS]], which pays for the planning-time counts):
-   *  skip ops whose build unit's STATIC filter keeps at least this
-   *  fraction of the unit's rows — a weakly-selective build (a loose
-   *  range, a negation that slipped through as part of a conjunction)
-   *  produces a bloom filter containing most keys, so the probe removes
-   *  little while the build still costs a scan. The syntactic
-   *  filtered/unfiltered classification cannot see this (q05's
-   *  `s_acctbal > 0` keeps ~90% of suppliers and measured 0.90×); the
-   *  measured count can. `1.0` disables. Counts are TTL-cached per plan
-   *  shape (RuntimeCounts), so a fixture/ETL session pays each unit
-   *  shape once per 10 minutes. */
+  /** Selectivity payoff gate: skip ops whose build unit's STATIC filter
+   *  keeps at least this fraction of the unit's rows — a weakly-selective
+   *  build (a loose range, a negation that slipped through as part of a
+   *  conjunction) produces a bloom filter containing most keys, so the
+   *  probe removes little while the build still costs a scan. The
+   *  syntactic filtered/unfiltered classification cannot see this (q05's
+   *  `s_acctbal > 0` keeps ~90% of suppliers and measured 0.90×). Keep
+   *  fractions come from CBO filter estimates (with ANALYZE'd column
+   *  stats), a planning-time count under [[RUNTIME_SIZED_BUILDS]], or the
+   *  default-path footer min/max estimate ([[FOOTER_KEEP_GATE]]). `1.0`
+   *  disables the gate entirely. */
   val MAX_BUILD_KEEP_FRACTION = "spark.graft.rpt.maxBuildKeepFraction"
+  /** Estimate build keep fractions for the [[MAX_BUILD_KEEP_FRACTION]]
+   *  gate from parquet footer column min/max statistics under a uniform-
+   *  distribution assumption (the System R estimator) — the only stats
+   *  source live on the DEFAULT path, where path-based parquet reads have
+   *  no CBO column stats and planning-time counts are opt-in. One-sided
+   *  by construction: the estimate exists only when EVERY non-trivial
+   *  filter conjunct is a bare `col <op> literal` range over a
+   *  numeric/date/timestamp column (see [[FooterStats.keepFraction]]), so
+   *  an equality/IN/LIKE conjunct — whose selectivity footers cannot
+   *  see — always blocks the stand-down. Costs at most 8 footer reads per
+   *  build relation, cached by file set (footers are already read on this
+   *  path for row counts and BF sizing). On by default. */
+  val FOOTER_KEEP_GATE = "spark.graft.rpt.footerKeepGate"
   /** Evaluate min/max transfer bounds at PLANNING time and splice them as
    *  literal range predicates instead of scalar-subquery comparisons.
    *  Literal predicates reach the Parquet scan as pushed data filters, so
@@ -239,6 +251,8 @@ object RptConf {
     conf.getConfString(RUNTIME_SIZING_MIN_ROWS, "1048576").toLong
   def maxBuildKeepFraction(conf: SQLConf): Double =
     conf.getConfString(MAX_BUILD_KEEP_FRACTION, "0.8").toDouble
+  def footerKeepGate(conf: SQLConf): Boolean =
+    conf.getConfString(FOOTER_KEEP_GATE, "true").toBoolean
   def literalBounds(conf: SQLConf): Boolean =
     conf.getConfString(LITERAL_BOUNDS, "false").toBoolean
   def cacheBuilds(conf: SQLConf): Boolean =

@@ -146,8 +146,11 @@ class BfSizingSuite extends SparkTestBase {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE p_size < 10""".stripMargin
+    // footer gate off: this test isolates the measured-count path (the
+    // weak range here is exactly what the footer estimate also catches)
     withConf(RptConf.ENABLED -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.FOOTER_KEEP_GATE -> "false",
       RptConf.RUNTIME_SIZED_BUILDS -> "true",
       RptConf.MAX_BUILD_KEEP_FRACTION -> "0.8") {
       def buildTables(sql: String): Set[String] =

@@ -29,8 +29,11 @@ class CboGateSuite extends SparkTestBase {
       s"""CREATE TABLE graft_cbo_supplier
          |USING parquet LOCATION '$sfDir/supplier.parquet'""".stripMargin)
     try {
+      // footer gate off: this suite isolates the CBO estimate path (the
+      // weak range here is exactly what the footer estimate also catches)
       withConf(RptConf.ENABLED -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        RptConf.FOOTER_KEEP_GATE -> "false",
         "spark.sql.cbo.enabled" -> "true") {
         // no column stats yet: the estimate is untrustworthy (selectivity
         // defaults to 1.0) and must NOT gate — supplier still builds

@@ -130,6 +130,23 @@ println(s"[drive] v2source rows=$v2onRes filterCalled=$v2called resultsEqual=${v
 check(v2onRes == v2offRes, "v2 source: in-scan transfer changed results")
 check(v2called, "v2 source: runtime keys never reached the scan's filter()")
 
-val driveExpected = 17
+// --- round 8: footer-stats keep-fraction gate (default path) ---
+// the weak range build (s_acctbal > 0 keeps ~92% of suppliers) stands
+// down from parquet footer min/max alone — no CBO stats, no count jobs;
+// disabling the gate restores the supplier build (more probes), results
+// identical either way
+val fgq = "SELECT count(*) AS n FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey WHERE s_acctbal > 0 AND o_totalprice < 20000"
+val fgOnProbes = "might_contain".r.findAllIn(spark.sql(fgq).queryExecution.optimizedPlan.toString).length
+val fgOnRes = spark.sql(fgq).collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.footerKeepGate", "false")
+val fgOffProbes = "might_contain".r.findAllIn(spark.sql(fgq).queryExecution.optimizedPlan.toString).length
+val fgOffRes = spark.sql(fgq).collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.footerKeepGate", "true")
+println(s"[drive] footerGate probes on=$fgOnProbes off=$fgOffProbes resultsEqual=${fgOnRes == fgOffRes}")
+check(fgOnProbes > 0, "footer gate: selective orders build lost its probe")
+check(fgOffProbes > fgOnProbes, "footer gate: weak supplier build not gated (or gate-off didn't restore it)")
+check(fgOnRes == fgOffRes, "footer gate changed results")
+
+val driveExpected = 20
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
