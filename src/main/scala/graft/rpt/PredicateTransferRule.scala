@@ -568,10 +568,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
    *  planning-time count of the statically-filtered unit (runtime sizing —
    *  attempted only for large, filtered, measured builds where mis-sizing
    *  costs real broadcast bytes), the unit's measured cardinality (parquet
-   *  footers — an upper bound of the filtered build, i.e. a conservative,
-   *  lower-FPR size), then the defaultItems clamp for unmeasured proxies.
-   *  Floor 4096 keeps degenerate builds out of the high-FPR regime; cap
-   *  maxItems bounds filter memory/broadcast cost. */
+   *  footers) scaled by the footer min/max keep-fraction estimate where
+   *  one exists (an all-range filter keeping 4% of a fact-sized build
+   *  otherwise broadcasts a ~25×-oversized filter; under-estimates cost
+   *  FPR only, and the 4096 floor bounds the degenerate end), then the
+   *  defaultItems clamp for unmeasured proxies. Cap maxItems bounds
+   *  filter memory/broadcast cost. */
   private def estimatedItems(
       buildPlan: LogicalPlan,
       unit: TableUnit,
@@ -587,7 +589,13 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             selectivelyFiltered(unit.plan)) {
           RuntimeCounts.count(unit.plan)
         } else None
-      counted.map(_.toDouble).getOrElse(static)
+      counted.map(_.toDouble).getOrElse {
+        val footerScale =
+          if (RptConf.footerKeepGate(conf)) {
+            FooterStats.keepFraction(unit.plan).getOrElse(1.0)
+          } else 1.0
+        static * footerScale
+      }
     }
     math.max(4096L, math.min(est.toLong, maxItems))
   }

@@ -104,6 +104,38 @@ class BfSizingSuite extends SparkTestBase {
     }
   }
 
+  test("footer keep-fraction scales BF sizing on the default path") {
+    // sf0.01 so the scaled size clears the 4096 floor: l_quantity > 25
+    // keeps ~50% of 60k lineitem rows — the default-path BF must size at
+    // the scaled estimate, not the whole-table footer count; disabling
+    // the footer gate restores the unscaled upper bound
+    val sf01 = "/root/testdata/sf0.01"
+    spark.read.parquet(s"$sf01/lineitem.parquet")
+      .createOrReplaceTempView("li01")
+    spark.read.parquet(s"$sf01/orders.parquet")
+      .createOrReplaceTempView("ord01")
+    spark.read.parquet(s"$sf01/customer.parquet")
+      .createOrReplaceTempView("cust01")
+    val total = spark.table("li01").count()
+    val sql =
+      """SELECT count(*) AS n FROM li01
+        |JOIN ord01 ON l_orderkey = o_orderkey
+        |JOIN cust01 ON o_custkey = c_custkey
+        |WHERE l_quantity > 25""".stripMargin
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scaled = bfAggs(sql).map(estItems)
+      assert(scaled.nonEmpty, "no bloom filter aggregates injected")
+      assert(scaled.forall(e => e >= (0.3 * total).toLong &&
+        e <= (0.7 * total).toLong),
+        s"BF not sized by the ~0.5 footer keep estimate of $total ($scaled)")
+      val unscaled = withConf(RptConf.FOOTER_KEEP_GATE -> "false")(
+        bfAggs(sql).map(estItems))
+      assert(unscaled.contains(total),
+        s"gate-off BF not sized at the footer count $total ($unscaled)")
+    }
+  }
+
   test("unmeasured builds fall back to the defaultItems clamp, not 1M+") {
     // a non-parquet (in-memory) build side has neither stats rowCount nor
     // footers: the default clamp must bound the estimate
