@@ -16,6 +16,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // optional comma-separated allowlist for solo-probing a few queries
+    // under the exact bench protocol (same warmup, views, min-of-N)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = GraftSession.build(appName = "graft-bench")
     // warm the JVM/session on the smallest fixture so per-query numbers
     // measure the queries, not first-use initialization
@@ -23,7 +28,9 @@ object Bench {
     // register the benchmark fixture's views outside the timed region
     queries.QueryDef.views(spark, sfDir)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
