@@ -47,18 +47,29 @@ object GraftSession {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
-  def loadTables(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+  /** `events.ts` has shipped in two fixture generations: TIMESTAMP(NANOS)
+    * (read as epoch-nanos long under nanosAsLong) and TIMESTAMP(MICROS)
+    * without tz (read as TIMESTAMP_NTZ). Normalize both to a session-tz
+    * (UTC) TimestampType so watermarks, time functions, and the DuckDB
+    * oracle (which sees naive micros either way) all agree. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // exact integer division: epoch-nanos ~1.7e18 exceed 2^53, so a
+      // double round-trip (col/1000) can shift the microsecond by ±1;
+      // DuckDB truncates exactly, so must we
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ micros reinterpreted as UTC — bit-identical under the UTC session
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  def loadTables(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     tableNames.map { name =>
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // ts arrives as nanos-since-epoch long (nanosAsLong); expose as a real
-      // microsecond timestamp so time functions work
-      val df = if (name == "events") {
-        // exact integer division: epoch-nanos ~1.7e18 exceed 2^53, so a
-        // double round-trip (col/1000) can shift the microsecond by ±1;
-        // DuckDB truncates exactly, so must we
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else raw
+      val df = if (name == "events") normalizeTs(raw) else raw
       df.createOrReplaceTempView(name)
       name -> df
     }.toMap

@@ -96,8 +96,8 @@ object StreamingQueries {
   private def eventStreamDir(spark: SparkSession, sfDir: String): String =
     evDirs.getOrElseUpdate(s"${spark.hashCode}:$sfDir", {
       import org.apache.spark.sql.functions._
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = graft.GraftSession
+        .normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
         .select("event_id", "ts", "user_id", "event_type", "value")
       val maxTs = raw.agg(max("ts")).head.getTimestamp(0)
       val sentinel = spark.range(1).select(
