@@ -60,9 +60,25 @@ object GraftSession {
       // double round-trip (col/1000) can shift the microsecond by ±1;
       // DuckDB truncates exactly, so must we
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // NTZ micros reinterpreted as UTC — bit-identical under the UTC session
-      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      // NTZ micros reinterpreted as UTC — bit-identical ONLY under a UTC
+      // session (the cast reads the naive micros in the session zone), so
+      // enforce the precondition instead of trusting build()'s config to
+      // survive SPARK_GRAFT_EXTRA_CONF overrides
+      case _: TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        // accept any UTC-equivalent zone id ("UTC", "Etc/UTC", "GMT", "+00:00"
+        // — stock shells inherit the JVM default, often Etc/UTC), reject real
+        // offsets
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+            java.time.ZoneOffset.UTC).getOrElse(false)
+        require(isUtc,
+          s"normalizeTs reinterprets TIMESTAMP_NTZ in the session zone; requires UTC, got '$tz'")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected epoch-nanos LongType, " +
+          "TIMESTAMP_NTZ, or TimestampType")
     }
   }
 

@@ -67,6 +67,14 @@ object RptBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // optional filters for large-SF probes where the full matrix would run
+    // for hours: comma-separated query allowlist + regime allowlist
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val regimes: Set[String] = sys.env.get("SPARK_GRAFT_RPT_REGIMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = GraftSession.build(appName = "graft-rpt-bench")
     GraftSession.loadTables(spark, sfDir)
 
@@ -76,6 +84,7 @@ object RptBench {
           val d = graft.queries.RelationalQueries.defs.find(_.name == n).get
           n -> (() => d.fn(spark, sfDir))
         }).sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) }
 
     def time(mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -86,8 +95,9 @@ object RptBench {
     def cls(speedup: Double): String =
       if (speedup > 1.05) "faster" else if (speedup < 0.95) "slower" else "same"
 
-    val regimeJsons = Seq("broadcast" -> "10485760", "shuffle" -> "-1").map {
-      case (regime, bcThreshold) =>
+    val regimeJsons = Seq("broadcast" -> "10485760", "shuffle" -> "-1")
+      .filter { case (r, _) => regimes.isEmpty || regimes(r) }
+      .map { case (regime, bcThreshold) =>
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
         val rows = entries.map { case (name, mk) =>
           spark.conf.set("spark.graft.rpt.enabled", "false")

@@ -28,8 +28,12 @@ object QueryDef {
     * cached per session so repeated query invocations skip the re-read). */
   def views(spark: SparkSession, sfDir: String): Unit = {
     registered.keySet().removeIf(_.sparkContext.isStopped)
-    if (registered.put(spark, sfDir) != sfDir) {
+    if (registered.get(spark) != sfDir) {
+      // mark registered only AFTER a successful load: a throwing load
+      // (e.g. a session-config precondition) must stay retryable, not
+      // leave the session marked loaded with half its views missing
       GraftSession.loadTables(spark, sfDir)
+      registered.put(spark, sfDir)
     }
   }
 
