@@ -453,6 +453,38 @@ object DedupQueries {
          |       (min({'nt': -n_tok, 'id': doc_id})).id AS survivor_id,
          |       count(*) AS n_members,
          |       CAST(max(n_tok) AS BIGINT) AS max_tok
-         |FROM mem GROUP BY rep_id""".stripMargin))
+         |FROM mem GROUP BY rep_id""".stripMargin)),
+
+    // cross-source contamination matrix: which SOURCE pairs share
+    // near-duplicate content (crawl snapshots re-crawling each other,
+    // a benchmark leaking into a dump). Reuses the d04 LSH pair graph —
+    // the expensive banded join is the same plan — then attributes each
+    // candidate pair to its unordered source pair. The doc_id->source
+    // lookups join the SMALL pair list (LSH candidates, a tiny fraction
+    // of the corpus) against documents on its unique key: skew-free
+    // shuffle joins whose build side is the pair list, not the corpus.
+    dialect("d11_source_contamination",
+      s"""WITH $sparkMinhashCtes,
+         |pairs AS ($minhashPairsSelect)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_cross
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY least(da.source, db.source), greatest(da.source, db.source)""".stripMargin,
+      s"""WITH $duckMinhashCtes,
+         |pairs AS ($minhashPairsSelect)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_cross
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY least(da.source, db.source), greatest(da.source, db.source)""".stripMargin)
   )
 }

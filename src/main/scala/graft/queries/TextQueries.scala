@@ -251,6 +251,56 @@ object TextQueries {
         |       count(*) AS n_distinct_tok,
         |       CAST(sum(1000000 // df) AS BIGINT) AS idf_score
         |FROM dt JOIN df USING (tok)
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin),
+
+    // per-source vocabulary divergence: pairwise cosine similarity of the
+    // sources' term-frequency vectors — the corpus-mixing diagnostic that
+    // tells you whether two "sources" are really the same distribution.
+    // Determinism across engines: ALL aggregates are over exact integers
+    // (dot products and norms of BIGINT counts; exact while per-(source,
+    // tok) counts stay < ~3e9 — at larger scale switch the counts to
+    // per-shard double frequencies); the single double division at the
+    // end is one IEEE expression both engines evaluate identically. The
+    // tok self-join is bounded: each token contributes at most
+    // sources^2/2 joined rows, so hot tokens cannot skew beyond the
+    // (tiny, fixed) source count.
+    dialect("t08_vocab_divergence",
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok
+        |  GROUP BY source, tok),
+        |nrm AS (SELECT source, sum(c * c) AS n2 FROM tf GROUP BY source),
+        |dots AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         sum(a.c * b.c) AS dot, count(*) AS shared_vocab
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT d.source_a, d.source_b,
+        |       CAST(d.shared_vocab AS BIGINT) AS shared_vocab,
+        |       CAST(d.dot AS DOUBLE)
+        |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |         AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.source = d.source_a
+        |JOIN nrm nb ON nb.source = d.source_b""".stripMargin,
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) e
+        |  GROUP BY source, tok),
+        |nrm AS (SELECT source, sum(c * c) AS n2 FROM tf GROUP BY source),
+        |dots AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         sum(a.c * b.c) AS dot, count(*) AS shared_vocab
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT d.source_a, d.source_b,
+        |       CAST(d.shared_vocab AS BIGINT) AS shared_vocab,
+        |       CAST(d.dot AS DOUBLE)
+        |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |         AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.source = d.source_a
+        |JOIN nrm nb ON nb.source = d.source_b""".stripMargin)
   )
 }

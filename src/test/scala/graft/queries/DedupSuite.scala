@@ -67,4 +67,29 @@ class DedupSuite extends SparkTestBase {
         s"cluster $rep: min member ${members.keys.min} != rep")
     }
   }
+
+  test("d11 contamination matrix aggregates exactly the d04 pair graph") {
+    val pairs = DedupQueries.defs.find(_.name == "d04_minhash_lsh").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val srcOf = spark.table("documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa), sa != sb)
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.size.toLong, vs.count(_._2).toLong) }
+
+    val got = DedupQueries.defs.find(_.name == "d11_source_contamination").get
+      .fn(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, "matrix disagrees with direct pair attribution")
+    // source_a <= source_b canonical ordering holds on every row
+    got.keys.foreach { case (a, b) => assert(a <= b, s"unordered row ($a,$b)") }
+  }
 }

@@ -45,6 +45,14 @@ println(s"[drive] d09_editdist_neardup rows=${d09rows.length}")
 check(d09rows.nonEmpty, "d09 empty")
 check(d09rows.forall(_.getLong(2) >= 0), "d09 negative distance")
 
+val d11rows = graft.SparkEntry.queries("d11_source_contamination")(spark, sf).collect()
+println(s"[drive] d11_source_contamination rows=${d11rows.length} pairs=${d11rows.map(_.getLong(2)).sum}")
+check(d11rows.nonEmpty && d11rows.forall(r => r.getString(0) <= r.getString(1) && r.getLong(3) <= r.getLong(2)), "d11 canonical ordering / cross<=total violated")
+
+val t08rows = graft.SparkEntry.queries("t08_vocab_divergence")(spark, sf).collect()
+println(s"[drive] t08_vocab_divergence rows=${t08rows.length}")
+check(t08rows.nonEmpty && t08rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0000001), "t08 cosine out of (0,1]")
+
 // --- RPT differential at the extensions boundary ---
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 spark.conf.set("spark.graft.rpt.minProbeRows", "0")
@@ -147,6 +155,6 @@ check(fgOnProbes > 0, "footer gate: selective orders build lost its probe")
 check(fgOffProbes > fgOnProbes, "footer gate: weak supplier build not gated (or gate-off didn't restore it)")
 check(fgOnRes == fgOffRes, "footer gate changed results")
 
-val driveExpected = 20
+val driveExpected = 22
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
