@@ -36,6 +36,9 @@ object StreamingQueries {
 
   private val sinkId = new AtomicLong(0L)
 
+  /** Stateful-shuffle bound for gate drains (see drain()). */
+  private val StreamShufflePartitions = 8
+
   /** Runs `op` over a file-streaming read of `table`, drains every
     * available micro-batch into a memory sink, stops the query, and
     * returns the sink table (one fixture file ⇒ one micro-batch). */
@@ -64,10 +67,26 @@ object StreamingQueries {
     * watermark advance — and returns the sink contents. */
   private def drain(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    // Stateful streaming cost at gate scale is dominated by per-partition
+    // state-store COMMITS (delta + snapshot per partition per micro-batch;
+    // a stream-stream join keeps two stores per partition), not by data
+    // volume — at 32 shuffle partitions the interval join pays 64 store
+    // commits per batch (measured: v10 at sf1 9.5 s -> 3.7 s at 8).
+    // Bound the stateful shuffle for the drain and restore after; a
+    // production deployment sizes this to sustained throughput instead.
+    // The streaming query pins the value from the session conf at start
+    // (OffsetSeqMetadata), so restoring after stop() cannot race batch 0.
+    val partKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(partKey)
+    spark.conf.set(partKey,
+      math.min(before.toInt, StreamShufflePartitions).toString)
     val query = streamed.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      spark.conf.set(partKey, before)
+    }
     // Detach the sink table from the catalog before returning: the plan is
     // already resolved, and leaving the view registered would pin every
     // invocation's full output on the driver for the session's life.

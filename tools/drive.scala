@@ -53,6 +53,14 @@ val t08rows = graft.SparkEntry.queries("t08_vocab_divergence")(spark, sf).collec
 println(s"[drive] t08_vocab_divergence rows=${t08rows.length}")
 check(t08rows.nonEmpty && t08rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0000001), "t08 cosine out of (0,1]")
 
+// --- round 9: streaming gate through the public registry (drain() caps
+// the stateful shuffle during the run and must RESTORE the session conf)
+val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+val v01rows = graft.SparkEntry.queries("v01_stream_simhash")(spark, sf).collect()
+println(s"[drive] v01_stream_simhash rows=${v01rows.length} partitionsRestored=${spark.conf.get("spark.sql.shuffle.partitions") == partsBefore}")
+check(v01rows.length == 500, s"v01 expected 500 rows, got ${v01rows.length}")
+check(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore, "drain leaked the shuffle-partition override")
+
 // --- RPT differential at the extensions boundary ---
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 spark.conf.set("spark.graft.rpt.minProbeRows", "0")
@@ -155,6 +163,6 @@ check(fgOnProbes > 0, "footer gate: selective orders build lost its probe")
 check(fgOffProbes > fgOnProbes, "footer gate: weak supplier build not gated (or gate-off didn't restore it)")
 check(fgOnRes == fgOffRes, "footer gate changed results")
 
-val driveExpected = 22
+val driveExpected = 24
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
