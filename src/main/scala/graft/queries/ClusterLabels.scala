@@ -50,8 +50,10 @@ object ClusterLabels {
       _ => {
         QueryDef.views(spark, sfDir)
         computations.incrementAndGet()
+        // the pair graph itself is session-cached too (PairGraph): the
+        // banded join runs once for d04 + d11 + this closure
         graft.ops.ConnectedComponents
-          .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
+          .labels(PairGraph.pairs(spark, sfDir), "doc_a", "doc_b")
           .selectExpr("node_id AS doc_id", "rep_id")
           .localCheckpoint(eager = true)
       })

