@@ -80,13 +80,12 @@ object StreamingQueries {
     val before = spark.conf.get(partKey)
     spark.conf.set(partKey,
       math.min(before.toInt, StreamShufflePartitions).toString)
-    val query = streamed.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      spark.conf.set(partKey, before)
-    }
+    try {
+      val query = streamed.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally spark.conf.set(partKey, before)
     // Detach the sink table from the catalog before returning: the plan is
     // already resolved, and leaving the view registered would pin every
     // invocation's full output on the driver for the session's life.

@@ -257,6 +257,18 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val filteredOnly = RptConf.filteredBuildsOnly(conf)
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
+    // The conversion margin models "this join will broadcast at runtime,
+    // so the transfer's shuffle saving is zero" — a SINGLE-join argument.
+    // On deep graphs it does not hold: a transferred reduction is consumed
+    // by every downstream join the reduced rows flow through, so the
+    // payoff compounds with depth while the build cost stays constant
+    // (measured at sf1: the 14/17-table q35/q36 run 1.4–1.7× with
+    // transfers even when every individual join converts to broadcast,
+    // while the 3–5-table shapes lose 15–30%). Deep plans therefore fall
+    // back to the bare threshold compare.
+    val bcMargin =
+      if (graph.edges.size >= RptConf.deepPlanEdges(conf)) 1.0
+      else RptConf.broadcastConversionMargin(conf)
     val v2ScanFilter = RptConf.v2ScanFilter(conf)
     val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
     // output ExprIds of runtime-filterable v2 relations in a unit plan —
@@ -388,8 +400,19 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         (buildProbeRatio > 0 &&
           graph.units(op.build).card * buildProbeRatio >
             graph.units(op.probe).card) ||
-        (skipBroadcastable && bcThreshold > 0 &&
-          graph.units(op.build).plan.stats.sizeInBytes <= bcThreshold)
+        (skipBroadcastable && bcThreshold > 0 && {
+          // skip when the build–probe JOIN will run as a broadcast join —
+          // whichever input is smaller gets broadcast, and AQE converts
+          // using runtime (filtered, shuffle-compressed) sizes that the
+          // planning-time estimate overstates by the margin (see
+          // RptConf.BROADCAST_CONVERSION_MARGIN). A broadcast join never
+          // shuffles the probe rows, so the transfer has nothing to save
+          // and its build subquery is pure overhead.
+          val joinMinSide =
+            graph.units(op.build).plan.stats.sizeInBytes
+              .min(graph.units(op.probe).plan.stats.sizeInBytes)
+          joinMinSide <= (BigDecimal(bcThreshold) * bcMargin).toBigInt
+        })
       // extend the probe's reduced view whenever the BUILD side qualifies,
       // even when the probe-side filter is gated (e.g. a tiny probe unit):
       // the reduction must ride through small units to the big tables

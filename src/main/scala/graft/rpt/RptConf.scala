@@ -74,6 +74,27 @@ object RptConf {
    *  probable-shuffle-join identically. In the shuffle regime (threshold
    *  -1, or big build sides at cluster scale) this gate never fires. */
   val SKIP_BROADCASTABLE_BUILDS = "spark.graft.rpt.skipBroadcastableBuilds"
+  /** Margin for the broadcast-skip estimate: skip a transfer when the
+   *  build–probe JOIN's smaller input has sizeInBytes <=
+   *  autoBroadcastJoinThreshold × this factor. Planning-time sizeInBytes
+   *  OVERESTIMATES the size AQE's join conversion actually compares —
+   *  only selectively-filtered builds ever transfer (their runtime rows
+   *  are a fraction of the static estimate, invisible without CBO
+   *  stats), and AQE measures compressed shuffle bytes. With margin 1
+   *  the gate kept transferring from a 15 MB-static orders build whose
+   *  filtered runtime side broadcast anyway — the whole query plan ran
+   *  as broadcast hash joins with the BF build as pure overhead
+   *  (semi_reduce 0.68–0.86×, q06 0.76–0.87× in the broadcast regime
+   *  across r08/r09 runs). 1.0 = the pre-margin behavior; the shuffle
+   *  regime (threshold -1) is unaffected at any value. */
+  val BROADCAST_CONVERSION_MARGIN = "spark.graft.rpt.broadcastConversionMargin"
+  /** Join-graph edge count at and above which the conversion margin
+   *  falls back to 1.0 (bare threshold): on deep graphs a transferred
+   *  reduction compounds through every downstream join, so transfers pay
+   *  even where each individual join broadcasts (q35/q36 measured
+   *  1.4–1.7× in the broadcast regime; the 3–5-table shapes lose
+   *  15–30% — the margin protects those). */
+  val DEEP_PLAN_EDGES = "spark.graft.rpt.deepPlanEdges"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -233,6 +254,10 @@ object RptConf {
     conf.getConfString(FILTERED_BUILDS_ONLY, "true").toBoolean
   def skipBroadcastableBuilds(conf: SQLConf): Boolean =
     conf.getConfString(SKIP_BROADCASTABLE_BUILDS, "true").toBoolean
+  def broadcastConversionMargin(conf: SQLConf): Double =
+    conf.getConfString(BROADCAST_CONVERSION_MARGIN, "4.0").toDouble
+  def deepPlanEdges(conf: SQLConf): Int =
+    conf.getConfString(DEEP_PLAN_EDGES, "6").toInt
   def buildForm(conf: SQLConf): String =
     normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
   def failFast(conf: SQLConf): Boolean =

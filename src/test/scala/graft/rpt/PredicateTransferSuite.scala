@@ -340,6 +340,27 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("broadcastConversionMargin widens the skip to joins AQE will convert") {
+    // threshold set to half the orders unit's static size: under the bare
+    // threshold compare (margin 1) orders is "too big to broadcast" and
+    // transfers toward lineitem; with the default conversion margin the
+    // gate recognizes the join's smaller input sits within AQE's runtime
+    // broadcast-conversion range and stands the whole schedule down
+    val so = spark.table("orders").queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = (so / 2).max(1).toString
+    def probes(): Int = "might_contain".r.findAllIn(
+      spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString).length
+    withConf(RptConf.ENABLED -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> thresh) {
+      assert(probes() == 0,
+        "default margin: joins within the conversion range must not transfer")
+      withConf(RptConf.BROADCAST_CONVERSION_MARGIN -> "1.0") {
+        assert(probes() > 0,
+          "margin 1: orders exceeds the bare threshold and must transfer")
+      }
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
