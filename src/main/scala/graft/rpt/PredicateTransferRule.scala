@@ -72,6 +72,24 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
   private def rewrite(plan: LogicalPlan): LogicalPlan = {
     val graph = JoinGraph.extract(plan)
     if (graph.edges.size < RptConf.minEdges(conf)) return plan
+    // whole-plan broadcast bail: when EVERY join's smaller input sits
+    // within the AQE conversion margin on a shallow graph, every op the
+    // schedule could emit would be gated anyway — exit before paying for
+    // schedule construction and per-op gating (measured: rule-on planning
+    // on 3–4-join broadcast-regime queries dropped from ~100–500 ms to
+    // the graph-extraction cost, the 5–10% "rule tax" those sub-second
+    // queries showed with zero injected probes)
+    if (RptConf.skipBroadcastableBuilds(conf) &&
+        conf.autoBroadcastJoinThreshold > 0 &&
+        graph.edges.size < RptConf.deepPlanEdges(conf)) {
+      val ceiling = (BigDecimal(conf.autoBroadcastJoinThreshold) *
+        RptConf.broadcastConversionMargin(conf)).toBigInt
+      val allConvert = graph.edges.forall { e =>
+        graph.units(e.a).plan.stats.sizeInBytes
+          .min(graph.units(e.b).plan.stats.sizeInBytes) <= ceiling
+      }
+      if (allConvert) return plan
+    }
     val ops = RptConf.heuristic(conf) match {
       case "joinOrder" => TransferSchedule.joinOrder(graph,
         RptConf.passMode(conf), RptConf.flipRoots(conf))
