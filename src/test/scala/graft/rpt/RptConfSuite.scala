@@ -56,6 +56,16 @@ class RptConfSuite extends SparkTestBase {
       assert(!RptConf.filteredBuildsOnly(sqlConf))
       assert(!RptConf.skipBroadcastableBuilds(sqlConf))
     }
+    // broadcast-conversion margin: default 4x with the deep-plan fallback
+    // at 6 edges; margin 1.0 restores the bare threshold compare
+    assert(RptConf.broadcastConversionMargin(sqlConf) == 4.0)
+    assert(RptConf.deepPlanEdges(sqlConf) == 6)
+    withConf(
+      RptConf.BROADCAST_CONVERSION_MARGIN -> "1.0",
+      RptConf.DEEP_PLAN_EDGES -> "99") {
+      assert(RptConf.broadcastConversionMargin(sqlConf) == 1.0)
+      assert(RptConf.deepPlanEdges(sqlConf) == 99)
+    }
   }
 
   test("two-phase feature switches: defaults and overrides") {
