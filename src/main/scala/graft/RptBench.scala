@@ -62,7 +62,7 @@ object RptBench {
    *  must hold on the real queries, not only the synthetic shapes. */
   private val workloadQueries =
     Seq("q04_chain5_rpt", "q05_star_join", "q06_job_global_min",
-      "q27_wide_join", "q35_job_depth")
+      "q27_wide_join", "q35_job_depth", "q36_job_width")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
