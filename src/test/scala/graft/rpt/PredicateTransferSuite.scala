@@ -361,6 +361,25 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("deep plans keep transferring where the conversion margin stands shallow ones down") {
+    // identical threshold (half the orders unit): the 4-edge chain is
+    // fully inside the conversion margin and must not transfer, while the
+    // 13-edge q35 graph falls back to the bare compare (reductions
+    // compound with depth) and must keep its probes
+    val so = spark.table("orders").queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = (so / 2).max(1).toString
+    withConf(RptConf.ENABLED -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> thresh) {
+      val shallow = "might_contain".r.findAllIn(
+        spark.sql(queries("chain5")).queryExecution.optimizedPlan.toString).length
+      val deep = "might_contain".r.findAllIn(
+        graft.SparkEntry.queries("q35_job_depth")(spark, sfDir)
+          .queryExecution.optimizedPlan.toString).length
+      assert(shallow == 0, s"shallow plan transferred ($shallow probes)")
+      assert(deep > 0, "deep plan lost its transfers to the margin")
+    }
+  }
+
   test("executes with whole-stage codegen filters (physical sanity)") {
     withConf(RptConf.ENABLED -> "true") {
       val df = spark.sql(queries("star4_min"))
