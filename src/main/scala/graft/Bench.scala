@@ -52,20 +52,22 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
     }
     // The harness reading stdout keeps only a bounded tail (~2000 chars):
-    // with 83 registry queries the full-name map (~2.7k chars) gets its head
-    // truncated and the line no longer parses. The stdout line therefore
-    // uses the short registry id (the unique "q01"/"d04"/"v10" prefix) and
-    // the full-name JSON goes to target/bench_full.json for inspection.
+    // with a full registry (~85 queries) the full-name map (~2.7k chars) gets
+    // its head truncated and the line no longer parses. The stdout line
+    // therefore uses the short registry id (the unique "q01"/"d04"/"v10"
+    // prefix) and the full-name JSON goes to target/bench_full.json.
+    // Write the full-name file FIRST so a guard failure below still leaves
+    // the measured data on disk instead of discarding the whole run.
+    val full = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(full.getParent)
+    java.nio.file.Files.write(full,
+      jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val shortKeyed = results.map { case (k, v) => k.split('_').head -> v }
     require(shortKeyed.map(_._1).distinct.size == shortKeyed.size,
       "short registry ids must stay unique for the bench stdout line")
     val line = jsonLine(shortKeyed)
     require(line.length <= 1800,
       s"bench stdout line ${line.length} chars would overflow the harness tail buffer")
-    val full = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(full.getParent)
-    java.nio.file.Files.write(full,
-      jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
   }

@@ -85,6 +85,11 @@ object RptBench {
           n -> (() => d.fn(spark, sfDir))
         }).sortBy(_._1)
         .filter { case (n, _) => only.isEmpty || only(n) }
+    // Fail fast on a filter that matches nothing: an empty entry list makes
+    // the geomean NaN and an empty regime list leaves a trailing comma in
+    // the JSON line — both silently corrupt the RPTBENCH_JSON artifact.
+    require(entries.nonEmpty,
+      s"SPARK_GRAFT_BENCH_QUERIES matched no query (allowlist: $only)")
 
     def time(mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -95,8 +100,11 @@ object RptBench {
     def cls(speedup: Double): String =
       if (speedup > 1.05) "faster" else if (speedup < 0.95) "slower" else "same"
 
-    val regimeJsons = Seq("broadcast" -> "10485760", "shuffle" -> "-1")
+    val regimePlan = Seq("broadcast" -> "10485760", "shuffle" -> "-1")
       .filter { case (r, _) => regimes.isEmpty || regimes(r) }
+    require(regimePlan.nonEmpty,
+      s"SPARK_GRAFT_RPT_REGIMES matched no regime (allowlist: $regimes)")
+    val regimeJsons = regimePlan
       .map { case (regime, bcThreshold) =>
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
         val rows = entries.map { case (name, mk) =>

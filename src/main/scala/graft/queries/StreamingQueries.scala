@@ -64,7 +64,17 @@ object StreamingQueries {
   /** Starts `streamed` (a plan over one or more readStream sources),
     * drains to completion — including the no-data micro-batch that fires
     * event-time timeouts and append-mode window emission after the final
-    * watermark advance — and returns the sink contents. */
+    * watermark advance — and returns the sink contents.
+    *
+    * Concurrency caveat: the drain temporarily rewrites the SESSION-global
+    * `spark.sql.shuffle.partitions` (and restores it after). Any batch
+    * query planned on the same session while a drain is in flight would
+    * silently plan with the capped value, and two overlapping drains would
+    * race the save/restore. The gate harness runs queries strictly
+    * sequentially, so this is safe there; a caller that runs drains
+    * concurrently with other work must pass a dedicated session (the
+    * streamed plan is bound to its own session, so a `newSession()` clone
+    * must be used from plan construction onward, not just here). */
   private def drain(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     // Stateful streaming cost at gate scale is dominated by per-partition

@@ -263,13 +263,18 @@ object TextQueries {
     // end is one IEEE expression both engines evaluate identically. The
     // tok self-join is bounded: each token contributes at most
     // sources^2/2 joined rows, so hot tokens cannot skew beyond the
-    // (tiny, fixed) source count.
+    // (tiny, fixed) source count. Spark's non-ANSI BIGINT sums WRAP
+    // silently past that bound while DuckDB promotes to HUGEINT, so the
+    // Spark dialect carries an assert_true guard on max per-(source,tok)
+    // count: past the bound the query THROWS instead of silently
+    // hash-mismatching the oracle.
     dialect("t08_vocab_divergence",
       """WITH tf AS (
         |  SELECT source, tok, count(*) AS c
         |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok
         |  GROUP BY source, tok),
-        |nrm AS (SELECT source, sum(c * c) AS n2 FROM tf GROUP BY source),
+        |nrm AS (SELECT source, sum(c * c) AS n2, max(c) AS c_max
+        |        FROM tf GROUP BY source),
         |dots AS (
         |  SELECT a.source AS source_a, b.source AS source_b,
         |         sum(a.c * b.c) AS dot, count(*) AS shared_vocab
@@ -282,7 +287,10 @@ object TextQueries {
         |         AS cosine
         |FROM dots d
         |JOIN nrm na ON na.source = d.source_a
-        |JOIN nrm nb ON nb.source = d.source_b""".stripMargin,
+        |JOIN nrm nb ON nb.source = d.source_b
+        |WHERE assert_true(na.c_max <= 3037000499L AND nb.c_max <= 3037000499L,
+        |  't08: per-(source,tok) count exceeds the exact-BIGINT cosine bound')
+        |  IS NULL""".stripMargin,
       """WITH tf AS (
         |  SELECT source, tok, count(*) AS c
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
