@@ -217,10 +217,10 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // into one scan automatically — the Spark-native equivalent of the
     // reference's BuildStackedBFOperators (rpt_optimizer.cpp:1164-1265).
     def scalarAgg(expr: Expression, buildPlan: LogicalPlan,
-        keys: Seq[Expression], forward: Boolean): ScalarSubquery = {
+        keys: Seq[Expression], forward: Boolean, fbTag: String): ScalarSubquery = {
       val needed = AttributeSet(keys.flatMap(_.references))
       val projected = Project(buildPlan.output.filter(needed.contains), buildPlan)
-      val alias = SUBQ_ALIAS + (if (forward) "_fwd" else "_bwd")
+      val alias = SUBQ_ALIAS + (if (forward) "_fwd" else "_bwd") + fbTag
       // v2 file sources: build the scans now — later optimizer batches
       // don't traverse freshly-injected subquery expressions (SqlBridge
       // scaladoc); a v1 LogicalRelation passes through untouched
@@ -257,13 +257,81 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           SqlBridge.collectRows(Aggregate(Nil, aggs, buildPlan))).head
       })
     }
+    // planning-time key-range summary for builds OVER the in-scan cap:
+    // up to rangeSummaryBuckets [lo, hi] ranges (per-bucket actual min/max
+    // over a fixed-width binning of the key span), deduped per
+    // (build, key, pass) like boundsCache. Some(Nil) = empty build;
+    // None = summary unavailable (execution failure) — push nothing.
+    val rangesCache =
+      mutable.HashMap[(Int, String, Boolean), Option[Seq[(Any, Any)]]]()
+    def rangesFor(buildId: Int, key: Expression, forward: Boolean,
+        buildPlan: => LogicalPlan): Option[Seq[(Any, Any)]] = {
+      val ck = (buildId, key.canonicalized.toString, forward)
+      rangesCache.getOrElseUpdate(ck, try {
+        val bounds = boundsFor(buildId, Seq(key), forward, buildPlan)
+        if (bounds.isNullAt(0)) Some(Nil)
+        else {
+          val (gmin, gmax) = (bounds.get(0), bounds.get(1))
+          val k = RptConf.rangeSummaryBuckets(conf)
+          def d(v: Any): Option[Double] = v match {
+            case n: java.lang.Number => Some(n.doubleValue)
+            case _ => None
+          }
+          (d(gmin), d(gmax)) match {
+            case (Some(lo), Some(hi)) if hi > lo && k > 1 =>
+              // bin in double space: imprecision only mis-BINS a key; the
+              // emitted bounds are actual per-bucket min/max, so the union
+              // of ranges always covers every build key
+              val needed = AttributeSet(key.references)
+              val projected =
+                Project(buildPlan.output.filter(needed.contains), buildPlan)
+              val bin = Least(Seq(
+                Floor(Multiply(Divide(Subtract(Cast(key, org.apache.spark.sql.types.DoubleType),
+                  Literal(lo)), Literal(hi - lo)), Literal(k.toDouble))),
+                Literal((k - 1).toLong)))
+              val rows = PredicateTransferRule.nested(SqlBridge.collectRows(
+                Aggregate(Seq(bin), Seq(
+                  Alias(Min(key).toAggregateExpression(), "graft_rpt_rlo")(),
+                  Alias(Max(key).toAggregateExpression(), "graft_rpt_rhi")()),
+                  Filter(IsNotNull(key), projected))))
+              Some(rows.toSeq.map(r => (r.get(0), r.get(1)))
+                .sortBy(p => d(p._1).get))
+            case _ =>
+              // non-numeric or single-point key space: one [min, max]
+              Some(Seq((gmin, gmax)))
+          }
+        }
+      } catch { case _: Exception => None })
+    }
+
+    // --- cross-query selectivity feedback (reference analog:
+    // SelectivityOptionalFilter, rpt_optimizer.cpp:1482-1491) ---
+    // A stable probe identity rides in the build subquery's ALIAS: the
+    // profiling listener reads it back from the executed filter's
+    // might_contain and records the measured keep-rate; the next planning
+    // of the same query shape skips probes that measured useless. Tags are
+    // empty (plans byte-identical to before) unless the feature is on.
+    val feedbackOn = RptConf.probeFeedback(conf)
+    val feedbackKeep = RptConf.probeFeedbackKeep(conf)
+    lazy val planHashHex =
+      (plan.canonicalized.hashCode & 0x7fffffff).toHexString
+    val feedbackTagMemo = mutable.HashMap[Int, String]()
+    def feedbackTag(buildId: Int): String =
+      if (!feedbackOn) ""
+      else feedbackTagMemo.getOrElseUpdate(buildId, "_q" + planHashHex + "_b" +
+        (graph.units(buildId).plan.canonicalized.hashCode & 0x7fffffff)
+          .toHexString)
+    def feedbackKey(op: ScheduledOp): String = ProbeFeedback.key(
+      SUBQ_ALIAS + (if (op.forward) "_fwd" else "_bwd") + feedbackTag(op.build),
+      op.probeKeys.collect { case a: Attribute => a.name })
+
     def sharedScalarAgg(kind: String, mkExpr: => Expression,
         buildPlan: => LogicalPlan, keys: Seq[Expression], forward: Boolean,
         buildId: Int): ScalarSubquery = {
       val key = (buildId,
         keys.map(_.canonicalized.toString).mkString(";"), forward, kind)
       subqCache.getOrElseUpdate(key,
-        scalarAgg(mkExpr, buildPlan, keys, forward))
+        scalarAgg(mkExpr, buildPlan, keys, forward, feedbackTag(buildId)))
     }
 
     // cost gates (see RptConf scaladoc): build only over selectively
@@ -468,7 +536,14 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             ((reducedBuild.materialize(op.buildKeys), jcond)),
           members = rp.members ++ reducedBuild.members)
       }
-      if (!gated) {
+      // measured-useless probe: a prior run of this exact (query, build,
+      // pass, probe-columns) shape kept >= the feedback threshold, so the
+      // probe pays hashing + a build subquery for nothing — skip
+      // re-injection (perf-only; the schedule and ride-through reductions
+      // above are untouched)
+      val fbSuppressed =
+        feedbackOn && ProbeFeedback.suppress(feedbackKey(op), feedbackKeep)
+      if (!gated && !fbSuppressed) {
         val buildPlan =
           if (buildForm == "semijoin") reducedBuild.materialize(op.buildKeys)
           else cascadePlan
@@ -515,6 +590,29 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
               conds += LessThanOrEqual(pk,
                 sharedScalarAgg("max", Max(bk).toAggregateExpression(),
                   buildPlan, Seq(bk), op.forward, op.build))
+            }
+          }
+        }
+        if (v2ScanFilter && !v2BuildSmallEnough(op.build, buildPlan) &&
+            RptConf.rangeSummaryFallback(conf)) {
+          // over-cap build: the key set is too large to collect/ship, so
+          // approximate the reference's uncapped in-scan pushdown
+          // (rpt_optimizer.cpp:1401-1501) with a LITERAL OR-of-ranges
+          // summary of the build keys. Literals reach parquet row-group
+          // zone maps through stock pushdown on ANY parquet probe, and
+          // graft-parquet scans drop whole files from footer ranges.
+          op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
+            rangesFor(op.build, bk, op.forward, buildPlan) match {
+              case Some(Seq()) =>
+                // empty build: always-false, same as the literal-bounds
+                // empty case (physical_create_bf.cpp:289-297)
+                conds += Literal.FalseLiteral
+              case Some(ranges) =>
+                conds += ranges.map { case (lo, hi) =>
+                  And(GreaterThanOrEqual(pk, Literal.create(lo, bk.dataType)),
+                    LessThanOrEqual(pk, Literal.create(hi, bk.dataType)))
+                }.reduce(Or)
+              case None => () // summary unavailable — push nothing
             }
           }
         }
@@ -572,8 +670,20 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       val conds = byIdentity.get(p) // look up BEFORE children are rebuilt
       val replaced = unitReplacement.get(p) // cacheBuilds substitution
       val rebuilt = if (replaced != null) replaced else p.mapChildren(splice)
-      if (conds != null) conds.foldLeft(rebuilt)((acc, c) => Filter(c, acc))
-      else rebuilt
+      rebuilt match {
+        case _ if conds == null => rebuilt
+        // merge into the unit's OWN filter rather than stacking a second
+        // Filter node: the v2 scan-building batch (Early Filter and
+        // Projection Push-Down, which runs once, right after this rule)
+        // only consumes the single Filter directly above the relation —
+        // a stacked probe filter would keep its pushable conjuncts
+        // (literal bounds, range summaries) out of the scan's
+        // pushedFilters and thus out of parquet's row-group/file skipping
+        case f: Filter =>
+          Filter(And(conds.reduce(And), f.condition), f.child)
+        case other =>
+          conds.foldLeft(other)((acc, c) => Filter(c, acc))
+      }
     }
     splice(plan)
   }

@@ -220,6 +220,43 @@ object RptConf {
    *  file skipping returns; the bloom-filter probe still applies). */
   val V2_SCAN_FILTER_MAX_BUILD_ROWS = "spark.graft.rpt.v2ScanFilterMaxBuildRows"
 
+  /** Coarse fallback for builds OVER the in-scan cap: instead of shipping
+   *  the (too-large) key set, evaluate a compact key-range summary at
+   *  planning time — up to [[RANGE_SUMMARY_BUCKETS]] merged `[lo, hi]`
+   *  ranges of the build keys (per-bucket actual min/max over a
+   *  fixed-width binning of the key span; single `[min, max]` for
+   *  non-binnable key types) — and splice it as a LITERAL
+   *  OR-of-ranges predicate on the probe keys. Literal predicates reach
+   *  every parquet reader's row-group zone maps through stock filter
+   *  pushdown, and `graft-parquet` scans additionally drop whole files
+   *  whose footer range misses all ranges. This is the reference's
+   *  uncapped dynamic filter pushdown (rpt_optimizer.cpp:1401-1501)
+   *  approximated without the key set: exactly the build sizes where
+   *  file-skipping pays most at 100 TB. Opt-in (default false) because,
+   *  like [[LITERAL_BOUNDS]], it executes bounded auxiliary aggregates
+   *  on the driver during planning (two per build/key/pass, cached). */
+  val RANGE_SUMMARY_FALLBACK = "spark.graft.rpt.rangeSummaryFallback"
+  /** Maximum ranges per range-summary predicate (default 64). */
+  val RANGE_SUMMARY_BUCKETS = "spark.graft.rpt.rangeSummaryBuckets"
+
+  /** Cross-query selectivity feedback — the Spark analog of the
+   *  reference's `SelectivityOptionalFilter` scan-filter wrapper
+   *  (rpt_optimizer.cpp:1482-1491). When on, each executed probe's
+   *  measured keep-rate is recorded (session-wide, TTL-cached) under a
+   *  stable (query, build, pass, probe columns) identity, and the next
+   *  planning of the same shape SKIPS probes that measured ≥
+   *  [[PROBE_FEEDBACK_KEEP]] — a probe that removes ≤2% of rows costs its
+   *  bloom-filter build and per-row hashing for nothing. Opt-in (default
+   *  false): re-planning the same query then intentionally yields a
+   *  different (cheaper) plan, which is surprising under test pinning.
+   *  Recording rides [[RptProfiling.RptProfilingListener]] — registered
+   *  automatically by `GraftSession.build`; plain sessions must register
+   *  it once for feedback to observe executions. */
+  val PROBE_FEEDBACK = "spark.graft.rpt.probeFeedback"
+  /** Keep-rate at or above which a measured probe is suppressed on
+   *  re-planning (default 0.98). */
+  val PROBE_FEEDBACK_KEEP = "spark.graft.rpt.probeFeedbackKeepThreshold"
+
   /** Accept both camelCase and the reference's snake_case spellings
    *  (`bf_only` == `bfOnly`); unknown values raise rather than silently
    *  falling through to another mode. */
@@ -286,4 +323,12 @@ object RptConf {
     conf.getConfString(V2_SCAN_FILTER, "true").toBoolean
   def v2ScanFilterMaxBuildRows(conf: SQLConf): Long =
     conf.getConfString(V2_SCAN_FILTER_MAX_BUILD_ROWS, "1048576").toLong
+  def rangeSummaryFallback(conf: SQLConf): Boolean =
+    conf.getConfString(RANGE_SUMMARY_FALLBACK, "false").toBoolean
+  def rangeSummaryBuckets(conf: SQLConf): Int =
+    conf.getConfString(RANGE_SUMMARY_BUCKETS, "64").toInt
+  def probeFeedback(conf: SQLConf): Boolean =
+    conf.getConfString(PROBE_FEEDBACK, "false").toBoolean
+  def probeFeedbackKeep(conf: SQLConf): Double =
+    conf.getConfString(PROBE_FEEDBACK_KEEP, "0.98").toDouble
 }

@@ -199,18 +199,30 @@ class GraftParquetScan(base: ParquetScan)
     else runtimeFilteredCopy.createReaderFactory()
 
   /** File-level prune: drop files whose footer [min,max] on a filtered
-    * column excludes every runtime value. */
+    * column excludes every RUNTIME value — and, independently, files whose
+    * footer range falsifies a STATIC pushed filter (the stock reader only
+    * uses pushed filters for row-group skipping inside already-scheduled
+    * tasks; at 100 TB, deciding at the driver that a file cannot match
+    * skips scheduling the task at all). The static path is what makes the
+    * rule's range-summary fallback (over-cap builds pushing literal
+    * OR-of-ranges instead of the key set) prune files like the key set
+    * would have. */
   override protected def partitions: Seq[FilePartition] = {
     val base = super.partitions
     val keys = runtimeKeys
-    if (keys.isEmpty || poisoned) return base
+    val runtimeOk = keys.nonEmpty && !poisoned
+    val staticFilters = pushedFilters.filter(GraftParquetScan.prunable)
+    if (!runtimeOk && staticFilters.isEmpty) return base
     val kept = base.flatMap { fp =>
-      val files = fp.files.filter(f =>
-        keys.forall { case (c, vals) =>
+      val files = fp.files.filter { f =>
+        (!runtimeOk || keys.forall { case (c, vals) =>
           GraftParquetScan.fileMayContain(
             hadoopConf, f.filePath.toPath, f.fileSize, c,
             readDataSchema(c).dataType, vals)
-        })
+        }) &&
+        staticFilters.forall(flt => GraftParquetScan.fileMayMatch(
+          hadoopConf, f.filePath.toPath, f.fileSize, readDataSchema, flt))
+      }
       if (files.isEmpty) None else Some(files)
     }
     lastFilePrune = Some((base.map(_.files.length).sum, kept.map(_.length).sum))
@@ -274,9 +286,21 @@ object GraftParquetScan {
     * `col` excludes EVERY runtime value. Unreadable/missing stats keep
     * the file — pruning must never turn IO trouble into wrong results. */
   def fileMayContain(conf: org.apache.hadoop.conf.Configuration, path: Path,
-      len: Long, col: String, dt: DataType, vals: Array[Any]): Boolean = {
-    if (rangeCache.size() > MaxPruneFiles) return true
-    val range = rangeCache.computeIfAbsent((path.toString, len, col), _ =>
+      len: Long, col: String, dt: DataType, vals: Array[Any]): Boolean =
+    fileRange(conf, path, len, col, dt) match {
+      case Some((lo, hi)) =>
+        val ord = catalystOrdering(dt).get
+        vals.exists(v => ord.lteq(lo, v) && ord.lteq(v, hi))
+      case None => true
+    }
+
+  /** Cached per-file [min, max] for `col` from the row-group footers, in
+    * the Catalyst-internal value space; None = stats unusable (caller must
+    * keep the file). */
+  private def fileRange(conf: org.apache.hadoop.conf.Configuration,
+      path: Path, len: Long, col: String, dt: DataType): Option[(Any, Any)] = {
+    if (rangeCache.size() > MaxPruneFiles) return None
+    rangeCache.computeIfAbsent((path.toString, len, col), _ =>
       Try {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
         try {
@@ -299,12 +323,62 @@ object GraftParquetScan {
           }
         } finally reader.close()
       }.toOption.flatten.filter(_ => catalystOrdering(dt).isDefined))
-    range match {
-      case Some((lo, hi)) =>
-        val ord = catalystOrdering(dt).get
-        vals.exists(v => ord.lteq(lo, v) && ord.lteq(v, hi))
-      case None => true
+  }
+
+  /** Can `fileMayMatch` possibly refute this pushed filter from footer
+    * ranges? (Filters it cannot evaluate keep every file — used to skip
+    * the footer pass entirely when nothing is refutable.) */
+  def prunable(f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => prunable(l) || prunable(r)
+    case sources.Or(l, r) => prunable(l) && prunable(r)
+    case _: sources.EqualTo | _: sources.In | _: sources.GreaterThan |
+         _: sources.GreaterThanOrEqual | _: sources.LessThan |
+         _: sources.LessThanOrEqual => true
+    case _ => false
+  }
+
+  /** Static-filter footer containment: keep the file unless its [min,max]
+    * ranges PROVE the pushed filter can match no row. Conservative on
+    * every unknown (missing stats, unsupported type/shape, nested column):
+    * pruning must never turn a stats gap into wrong results. Values in
+    * `sources.Filter` are EXTERNAL Scala types (String, java dates) —
+    * converted to the Catalyst-internal space the cached footer ranges
+    * live in before comparing. */
+  def fileMayMatch(conf: org.apache.hadoop.conf.Configuration, path: Path,
+      len: Long, schema: StructType, filter: sources.Filter): Boolean = {
+    def range(col: String): Option[((Any, Any), Ordering[Any], Any => Any)] =
+      schema.fields.find(_.name == col).flatMap { f =>
+        catalystOrdering(f.dataType).flatMap { ord =>
+          val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+          fileRange(conf, path, len, col, f.dataType).map((_, ord, conv))
+        }
+      }
+    def may(f: sources.Filter): Boolean = f match {
+      case sources.And(l, r) => may(l) && may(r)
+      case sources.Or(l, r) => may(l) || may(r)
+      case sources.EqualTo(c, v) => range(c).forall { case ((lo, hi), ord, conv) =>
+        val cv = conv(v); ord.lteq(lo, cv) && ord.lteq(cv, hi)
+      }
+      case sources.In(c, vs) => range(c).forall { case ((lo, hi), ord, conv) =>
+        vs.exists { v =>
+          val cv = conv(v); ord.lteq(lo, cv) && ord.lteq(cv, hi)
+        }
+      }
+      case sources.GreaterThan(c, v) => range(c).forall { case ((_, hi), ord, conv) =>
+        ord.gt(hi, conv(v))
+      }
+      case sources.GreaterThanOrEqual(c, v) => range(c).forall { case ((_, hi), ord, conv) =>
+        ord.gteq(hi, conv(v))
+      }
+      case sources.LessThan(c, v) => range(c).forall { case ((lo, _), ord, conv) =>
+        ord.lt(lo, conv(v))
+      }
+      case sources.LessThanOrEqual(c, v) => range(c).forall { case ((lo, _), ord, conv) =>
+        ord.lteq(lo, conv(v))
+      }
+      case _ => true
     }
+    may(filter)
   }
 
   /** Parquet footer stat -> the Catalyst-internal value space the runtime

@@ -1,0 +1,370 @@
+package graft.rpt
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Randomized join-shape differential fuzzer — the breadth the reference
+ * buys with its 113 diverse JOB queries (test_job_queries.sh:206-299), which
+ * this sandbox cannot replay for lack of the IMDB data. Each generated plan
+ * is a random 5–17-table join tree over the TPC-H-ish fixtures with:
+ *
+ *  - mixed join types (inner / left outer / left semi / left anti),
+ *  - self-joins (repeat aliases of one table, joined on its key),
+ *  - random filter forms (IN / LIKE / BETWEEN (numeric and timestamp) /
+ *    IS [NOT] NULL, including always-false filters that force EMPTY build
+ *    sides),
+ *  - barrier units at random positions (grouped aggregate, window, UNION
+ *    ALL, global aggregate — both as join inputs and as mid-tree wrappers
+ *    of the accumulated join),
+ *
+ * asserted rule-on ≡ rule-off (order-insensitive count + hash-sum
+ * fingerprint) under BOTH schedule heuristics × BOTH pass modes. Failures
+ * replay exactly: the generator is a pure function of the printed seed, and
+ * the assertion message carries the full structure descriptor.
+ *
+ * Scale note: runs on the sf0.001 fixture because shape coverage, not data
+ * volume, is what this suite buys (volume behavior is pinned by the bench
+ * and the sf0.1/sf1/sf10 RPTBENCH artifacts). GRAFT_FUZZ_N deepens the
+ * sweep for one-off soak runs.
+ */
+class JoinShapeFuzzSuite extends SparkTestBase {
+
+  /** Directed attachment edge: a new alias of `ct` can join column `cc`
+    * against an existing alias of `pt`'s column `pc`. `fanout` is the
+    * approximate row multiplication for the accumulated join (many-side
+    * attachments multiply; pk-side attachments don't) — used only to keep
+    * the generator away from row explosion, never for correctness. */
+  private case class Edge(pt: String, pc: String, ct: String, cc: String,
+      fanout: Double)
+
+  private val edges = Seq(
+    Edge("lineitem", "l_orderkey", "orders", "o_orderkey", 1),
+    Edge("orders", "o_orderkey", "lineitem", "l_orderkey", 4),
+    Edge("lineitem", "l_partkey", "part", "p_partkey", 1),
+    Edge("part", "p_partkey", "lineitem", "l_partkey", 30),
+    Edge("lineitem", "l_suppkey", "supplier", "s_suppkey", 1),
+    Edge("supplier", "s_suppkey", "lineitem", "l_suppkey", 600),
+    Edge("orders", "o_custkey", "customer", "c_custkey", 1),
+    Edge("customer", "c_custkey", "orders", "o_custkey", 10),
+    Edge("customer", "c_nationkey", "nation", "n_nationkey", 1),
+    Edge("nation", "n_nationkey", "customer", "c_nationkey", 6),
+    Edge("supplier", "s_nationkey", "nation", "n_nationkey", 1),
+    Edge("nation", "n_nationkey", "supplier", "s_nationkey", 0.4),
+    Edge("customer", "c_nationkey", "supplier", "s_nationkey", 0.4),
+    Edge("supplier", "s_nationkey", "customer", "c_nationkey", 6),
+    Edge("nation", "n_regionkey", "region", "r_regionkey", 1),
+    Edge("region", "r_regionkey", "nation", "n_regionkey", 5),
+    // self-joins on the table's own key
+    Edge("orders", "o_orderkey", "orders", "o_orderkey", 1),
+    Edge("customer", "c_custkey", "customer", "c_custkey", 1),
+    Edge("part", "p_partkey", "part", "p_partkey", 1),
+    Edge("supplier", "s_suppkey", "supplier", "s_suppkey", 1),
+    Edge("nation", "n_nationkey", "nation", "n_nationkey", 1),
+    Edge("region", "r_regionkey", "region", "r_regionkey", 1),
+    Edge("lineitem", "l_orderkey", "lineitem", "l_orderkey", 4))
+
+  /** Per-table alias cap — bounds worst-case fan-out while still allowing
+    * the JOB maximum of 17 tables (caps sum to 20). */
+  private val aliasCap = Map("lineitem" -> 3, "orders" -> 3, "customer" -> 3,
+    "supplier" -> 3, "part" -> 3, "nation" -> 3, "region" -> 2)
+
+  /** Filter pool per table: IN, LIKE, BETWEEN (numeric + timestamp),
+    * null tests. The IS NULL entries match ZERO fixture rows — they are the
+    * deliberate empty-build cases. */
+  private val filterPool: Map[String, Seq[String]] = Map(
+    "customer" -> Seq(
+      "c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')",
+      "c_acctbal BETWEEN 0 AND 5000",
+      "c_name LIKE '%1%'",
+      "c_acctbal IS NULL",
+      "c_nationkey IS NOT NULL"),
+    "orders" -> Seq(
+      "o_orderstatus IN ('F','P')",
+      "o_totalprice BETWEEN 1000 AND 150000",
+      "o_orderpriority LIKE '1%'",
+      "o_orderdate BETWEEN TIMESTAMP'1995-06-01' AND TIMESTAMP'1998-06-30'",
+      "o_custkey IS NULL"),
+    "lineitem" -> Seq(
+      "l_quantity BETWEEN 5 AND 45",
+      "l_returnflag IN ('A','N')",
+      "l_linestatus LIKE 'O%'",
+      "l_shipdate BETWEEN TIMESTAMP'1996-01-01' AND TIMESTAMP'1999-12-31'",
+      "l_discount IS NOT NULL"),
+    "part" -> Seq(
+      "p_size BETWEEN 1 AND 30",
+      "p_name LIKE '%e%'",
+      "p_brand IN ('Brand#19','Brand#23','Brand#15')",
+      "p_retailprice IS NULL"),
+    "supplier" -> Seq(
+      "s_acctbal BETWEEN -500 AND 8000",
+      "s_name LIKE '%1%'",
+      "s_nationkey IS NOT NULL"),
+    "nation" -> Seq(
+      "n_name LIKE 'NATION_1%'",
+      "n_name IN ('NATION_3','NATION_7','NATION_11')",
+      "n_regionkey BETWEEN 0 AND 2"),
+    "region" -> Seq(
+      "r_name IN ('ASIA','EUROPE')",
+      "r_name LIKE 'A%'"))
+
+  private def keyOf(t: String): String = t match {
+    case "lineitem" => "l_orderkey"
+    case "orders" => "o_orderkey"
+    case "customer" => "c_custkey"
+    case "supplier" => "s_suppkey"
+    case "part" => "p_partkey"
+    case "nation" => "n_nationkey"
+    case "region" => "r_regionkey"
+  }
+
+  /** One generated alias: its table, the columns still addressable on the
+    * accumulated DataFrame (prefixed `a<id>_<col>`), and whether later
+    * aliases may attach to it (semi/anti-joined aliases may not — their
+    * columns are gone from the output; barrier-collapsed aliases lose all
+    * but the grouping column). */
+  private case class Alias(id: Int, table: String, cols: Set[String],
+      attachable: Boolean)
+
+  private case class Generated(df: DataFrame, desc: String, nTables: Int)
+
+  /** Pure function of `(seed, tbls)` — replays exactly. Must be re-invoked
+    * per conf variant: a Dataset caches its QueryExecution, so reusing one
+    * DataFrame across variants would silently test one plan four times.
+    * `tbls` carries the worker session's own table DataFrames so instances
+    * can run on parallel sessions. */
+  private def generate(seed: Long, tbls: Map[String, DataFrame]): Generated = {
+    val rnd = new scala.util.Random(seed)
+    val desc = new StringBuilder
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    def maybeFilter(t: String, p: Double): Option[String] =
+      if (rnd.nextDouble() < p) Some(pick(filterPool(t))) else None
+
+    def prefixed(df: DataFrame, id: Int): DataFrame =
+      df.select(df.columns.map(c => col(c).as(s"a${id}_$c")).toSeq: _*)
+
+    // returns (unit plan, addressable source columns, selectivity estimate,
+    // descriptor); barrier units keep ONLY the join column
+    def buildUnit(id: Int, t: String, cc: String): (DataFrame, Set[String], Double, String) = {
+      val base = tbls(t)
+      rnd.nextInt(10) match {
+        case 0 | 1 => // grouped aggregate barrier
+          val f = maybeFilter(t, 0.5)
+          val d = f.map(base.where).getOrElse(base)
+            .groupBy(col(cc)).agg(count(lit(1)).as("cnt"))
+          (prefixed(d, id), Set(cc), 0.8, s"agg(${f.getOrElse("")})")
+        case 2 => // window barrier (deterministic aggregate window, no ties)
+          val f = maybeFilter(t, 0.5)
+          val d = f.map(base.where).getOrElse(base)
+            .select(col(cc),
+              count(lit(1)).over(Window.partitionBy(col(cc))).as("wcnt"))
+            .where(col("wcnt") >= 1)
+          (prefixed(d, id), Set(cc), 1.0, s"window(${f.getOrElse("")})")
+        case 3 => // UNION ALL barrier (two filtered branches)
+          val f1 = pick(filterPool(t)); val f2 = pick(filterPool(t))
+          val d = base.where(f1).select(col(cc))
+            .unionAll(base.where(f2).select(col(cc)))
+          (prefixed(d, id), Set(cc), 1.0, s"union($f1|$f2)")
+        case 4 => // global aggregate barrier (one row)
+          val f = maybeFilter(t, 0.5)
+          val d = f.map(base.where).getOrElse(base).agg(max(col(cc)).as(cc))
+          (prefixed(d, id), Set(cc), 0.01, s"gagg(${f.getOrElse("")})")
+        case _ => // plain (possibly filtered) table
+          val f = maybeFilter(t, 0.55)
+          val d = f.map(base.where).getOrElse(base)
+          (prefixed(d, id), base.columns.toSet,
+            if (f.isDefined) 0.5 else 1.0, f.getOrElse("plain"))
+      }
+    }
+
+    val nTarget = 5 + rnd.nextInt(13) // 5..17 tables
+    val t0 = pick(edges.map(_.pt).distinct)
+    val (df0, cols0, _, d0) = buildUnit(0, t0, keyOf(t0))
+    desc ++= s"a0=$t0[$d0]"
+    var acc = df0
+    var aliases = Vector(Alias(0, t0, cols0, attachable = true))
+    var nextId = 1
+    var est: Double = 6000.0
+
+    // mid-tree barrier: grouped-aggregate the ACCUMULATED join so the
+    // schedule sees joins both below and above a barrier; also the fallback
+    // that resets the row estimate when every candidate would explode
+    def collapse(): Boolean = {
+      // only grouping columns with OUTGOING edges keep the generator alive
+      // after the collapse (a dead-end column like c_mktsegment would
+      // strand the plan below the 5-table floor)
+      val open = aliases.filter(a => a.attachable &&
+        edges.exists(e => e.pt == a.table && a.cols.contains(e.pc)))
+      if (open.isEmpty) false
+      else {
+        val a = pick(open)
+        val c = pick(a.cols.toSeq.sorted
+          .filter(c0 => edges.exists(e => e.pt == a.table && e.pc == c0)))
+        acc = acc.groupBy(col(s"a${a.id}_$c"))
+          .agg(count(lit(1)).as(s"bar${nextId}_cnt"))
+        aliases = aliases.map(x =>
+          if (x.id == a.id) x.copy(cols = Set(c))
+          else x.copy(cols = Set.empty, attachable = false))
+        est = math.min(est, 2000.0)
+        desc ++= s" BARRIER(a${a.id}.$c)"
+        true
+      }
+    }
+
+    var steps = 0
+    while (aliases.size < nTarget && steps < nTarget * 3) {
+      steps += 1
+      val candidates = for {
+        a <- aliases if a.attachable
+        e <- edges
+        // cap counts only ATTACHABLE aliases: semi/anti-joined aliases
+        // don't multiply rows and must not exhaust a small table's slots
+        // (a region root with three semi-joined nations would strand the
+        // frontier below the 5-table floor otherwise); total width stays
+        // bounded by nTarget
+        if e.pt == a.table && a.cols.contains(e.pc) &&
+          aliases.count(x => x.table == e.ct && x.attachable) < aliasCap(e.ct) &&
+          est * e.fanout <= 2e6
+      } yield (a, e)
+      if (candidates.isEmpty) {
+        if (!collapse()) steps = nTarget * 3 // stuck — stop generating
+      } else {
+        val (pa, e) = pick(candidates)
+        val id = nextId; nextId += 1
+        val (unit, ucols, sel, ud) = buildUnit(id, e.ct, e.cc)
+        val jt = rnd.nextInt(10) match {
+          case 0 => "left_outer"
+          case 1 => "left_semi"
+          case 2 => "left_anti"
+          case _ => "inner"
+        }
+        val cond = col(s"a${pa.id}_${e.pc}") === col(s"a${id}_${e.cc}")
+        acc = acc.join(unit, cond, jt)
+        val keepsCols = jt == "inner" || jt == "left_outer"
+        aliases :+= Alias(id, e.ct, if (keepsCols) ucols else Set.empty,
+          attachable = keepsCols)
+        if (keepsCols) est = math.max(1.0, est * e.fanout * sel)
+        desc ++= s" a$id=${e.ct}[$ud] $jt a${pa.id}.${e.pc}=${e.cc}"
+        if (aliases.size >= 3 && aliases.size < nTarget && rnd.nextInt(8) == 0)
+          collapse()
+      }
+    }
+
+    Generated(acc, desc.toString, aliases.size)
+  }
+
+  /** Order-insensitive fingerprint: row count + sum of row hashes. The
+    * hash is shifted down 24 bits so the ANSI-mode sum cannot overflow
+    * (2^40 max per row × ≤2^21 rows < 2^63). */
+  private def fp(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.map(col).toSeq
+    val r = df.agg(count(lit(1)),
+      sum(shiftrightunsigned(xxhash64(cols: _*), 24))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  // reference-faithful payoff gates would suppress every transfer on the
+  // tiny in-memory fixture and make the sweep vacuous (same as
+  // TransferPropertySuite)
+  private val openGates = Seq(
+    RptConf.MIN_PROBE_ROWS -> "0",
+    RptConf.MIN_BUILD_PROBE_RATIO -> "0",
+    RptConf.FILTERED_BUILDS_ONLY -> "false",
+    RptConf.SKIP_BROADCASTABLE_BUILDS -> "false")
+
+  // sweep throughput: AQE re-optimization and 4-partition exchanges add
+  // ~3x wall time per plan with zero shape coverage on a 6k-row fixture;
+  // the rule×AQE interplay has its own dedicated pin in
+  // PredicateTransferSuite, so the sweep runs AQE-off
+  private val sweepConfs = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> "2")
+
+  private val combos = Seq(
+    ("largestRoot", "both"), ("largestRoot", "forwardOnly"),
+    ("joinOrder", "both"), ("joinOrder", "forwardOnly"))
+
+  // Per-seed combo rotation: each seed runs two of the four combos (the
+  // complementary pair keeps a heuristic AND a pass-mode contrast inside
+  // every seed), so each combo still covers half the sweep's plans while
+  // per-plan cost halves. GRAFT_FUZZ_FULL=1 runs all four per plan.
+  private val fuzzFull = sys.env.get("GRAFT_FUZZ_FULL").contains("1")
+  private val comboPairs = Seq(
+    Seq(("largestRoot", "both"), ("joinOrder", "forwardOnly")),
+    Seq(("joinOrder", "both"), ("largestRoot", "forwardOnly")))
+  private def combosFor(seed: Int): Seq[(String, String)] =
+    if (fuzzFull) combos else comboPairs(seed % 2)
+
+  private val nPlans = sys.env.getOrElse("GRAFT_FUZZ_N", "200").toInt
+
+  // a worker owns a private newSession() (shared SparkContext, isolated
+  // SQLConf + temp-view catalog), so combos can set session confs without
+  // racing other workers; nThreads=4 saturates the local[4] context with
+  // these sub-second jobs
+  private val nThreads = sys.env.getOrElse("GRAFT_FUZZ_THREADS", "4").toInt
+
+  test(s"$nPlans random 5-17-table plans: rule-on == rule-off under all " +
+      "heuristic x passMode combos") {
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tablesTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tablesMin = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
+    val jobs = chunks.map { seeds =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val s = spark.newSession()
+          (sweepConfs ++ openGates :+ (RptConf.FAIL_FAST -> "true"))
+            .foreach { case (k, v) => s.conf.set(k, v) }
+          val tbls = Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem")
+            .map(n => n -> s.read.parquet(s"$sfDir/$n.parquet")).toMap
+          seeds.foreach { seed =>
+            try {
+              val gen0 = generate(seed.toLong, tbls)
+              tablesTotal.addAndGet(gen0.nTables)
+              tablesMin.getAndUpdate(m => math.min(m, gen0.nTables))
+              s.conf.set(RptConf.ENABLED, "false")
+              val off = fp(gen0.df)
+              val cs = combosFor(seed)
+              cs.foreach { case (heur, pass) =>
+                s.conf.set(RptConf.ENABLED, "true")
+                s.conf.set(RptConf.HEURISTIC, heur)
+                s.conf.set(RptConf.PASS_MODE, pass)
+                val gen = generate(seed.toLong, tbls) // fresh QueryExecution
+                if ((heur, pass) == cs.head &&
+                    gen.df.queryExecution.optimizedPlan.toString
+                      .contains("might_contain")) {
+                  rewritten.incrementAndGet()
+                }
+                val on = fp(gen.df)
+                if (on != off) failures.add(
+                  s"seed=$seed $heur/$pass changed results ($on vs $off) for:\n${gen0.desc}")
+              }
+            } catch {
+              case e: Throwable => failures.add(
+                s"seed=$seed threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      })
+    }
+    jobs.foreach(_.get())
+    pool.shutdown()
+    assert(failures.isEmpty, s"${failures.size} differential failures:\n" +
+      scala.jdk.CollectionConverters.CollectionHasAsScala(failures).asScala
+        .take(5).mkString("\n---\n"))
+    info(f"$nPlans plans, ${tablesTotal.get.toDouble / nPlans}%.1f avg tables " +
+      s"(min ${tablesMin.get}), ${rewritten.get} rewritten (first combo per seed)")
+    // the generator must reach real JOB widths, and the sweep must actually
+    // exercise the rewrite
+    assert(tablesMin.get >= 5,
+      s"a generated plan fell below 5 tables (${tablesMin.get})")
+    assert(rewritten.get * 2 >= nPlans,
+      s"only ${rewritten.get}/$nPlans plans were rewritten — gates suppressed the sweep")
+  }
+}

@@ -178,6 +178,46 @@ class PredicateTransferSuite extends SparkTestBase {
     }
   }
 
+  test("probes survive AQE re-optimization, undoubled, with InjectRuntimeFilter on") {
+    // the one rule-ordering surface not covered by the coexistence test:
+    // under AQE every stage boundary re-optimizes the remaining LOGICAL
+    // plan (AQEOptimizer) and re-plans physical stages. The pin: in the
+    // shuffle regime with Spark's own InjectRuntimeFilter active
+    // simultaneously, (a) results match rule-off, (b) the rule's planned
+    // probes all EXECUTE (AQE neither drops them nor double-applies the
+    // rule — the idempotence guard plus AQEOptimizer's restricted rule
+    // set), and (c) executed graft probes carry real metrics.
+    withConf(RptConf.ENABLED -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true") {
+      val df = spark.sql(queries("chain5"))
+      val onRows = fingerprint(df) // executes under AQE
+      // planned graft probes: logical Filters carrying >=1 graft-aliased
+      // might_contain (a unit's conds merge into ONE filter)
+      val planned = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.exists {
+              case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+                s.plan.toString.contains("graft_rpt_bf")
+              case _ => false
+            } => f
+      }.size
+      assert(planned > 0, "expected graft probes in the optimized plan")
+      // executed graft probes (post-AQE final plan, via metrics walker)
+      val executed = RptProfiling.probeStats(df.queryExecution)
+        .filter(s => s.pass == "forward" || s.pass == "backward")
+      assert(executed.size == planned,
+        s"planned $planned graft probe filters, executed ${executed.size} — " +
+          "AQE dropped or double-applied probes")
+      assert(executed.forall(_.rowsIn >= 0), s"missing metrics: $executed")
+      val off = withConf(RptConf.ENABLED -> "false",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")(
+        fingerprint(spark.sql(queries("chain5"))))
+      assert(onRows == off)
+    }
+  }
+
   test("empty build side: probes reject everything, result stays correct") {
     // reference behavior #7: empty CREATE_BF pushes an always-false filter
     // (physical_create_bf.cpp:289-297); here the empty build yields a BF

@@ -70,12 +70,27 @@ class RptConfSuite extends SparkTestBase {
 
   test("two-phase feature switches: defaults and overrides") {
     // defaults: ALL planning-time job features (runtime sizing, literal
-    // bounds, cached builds) are opt-in — each runs extra work inside
-    // optimization and assumes build data static for the session/plan
+    // bounds, cached builds, range summaries) are opt-in — each runs extra
+    // work inside optimization and assumes build data static for the
+    // session/plan
     assert(!RptConf.runtimeSizedBuilds(sqlConf))
     assert(RptConf.runtimeSizingMinRows(sqlConf) == 1048576L)
     assert(!RptConf.literalBounds(sqlConf))
     assert(!RptConf.cacheBuilds(sqlConf))
+    assert(!RptConf.rangeSummaryFallback(sqlConf))
+    assert(RptConf.rangeSummaryBuckets(sqlConf) == 64)
+    withConf(RptConf.RANGE_SUMMARY_FALLBACK -> "true",
+      RptConf.RANGE_SUMMARY_BUCKETS -> "16") {
+      assert(RptConf.rangeSummaryFallback(sqlConf))
+      assert(RptConf.rangeSummaryBuckets(sqlConf) == 16)
+    }
+    assert(!RptConf.probeFeedback(sqlConf))
+    assert(RptConf.probeFeedbackKeep(sqlConf) == 0.98)
+    withConf(RptConf.PROBE_FEEDBACK -> "true",
+      RptConf.PROBE_FEEDBACK_KEEP -> "0.9") {
+      assert(RptConf.probeFeedback(sqlConf))
+      assert(RptConf.probeFeedbackKeep(sqlConf) == 0.9)
+    }
     withConf(
       RptConf.RUNTIME_SIZED_BUILDS -> "true",
       RptConf.RUNTIME_SIZING_MIN_ROWS -> "0",

@@ -163,6 +163,66 @@ check(fgOnProbes > 0, "footer gate: selective orders build lost its probe")
 check(fgOffProbes > fgOnProbes, "footer gate: weak supplier build not gated (or gate-off didn't restore it)")
 check(fgOnRes == fgOffRes, "footer gate changed results")
 
-val driveExpected = 24
+// --- round 10: over-cap range-summary fallback + static file pruning ---
+// a key-clustered 4-file fact read through graft-parquet: an over-cap
+// build (cap -1) with rangeSummaryFallback pushes literal OR-of-ranges
+// that prune files at the driver; results identical to rule-off
+val rsDir = java.nio.file.Files.createTempDirectory("drive_rs_").toFile
+spark.range(0, 40000).selectExpr("id as k", "id % 97 as grp").repartitionByRange(4, org.apache.spark.sql.functions.col("k")).sortWithinPartitions("k").write.mode("overwrite").parquet(s"${rsDir.getAbsolutePath}/fact.parquet")
+Seq((100L, "keep"), (200L, "keep"), (30000L, "drop")).toDF("dk", "tag").write.mode("overwrite").parquet(s"${rsDir.getAbsolutePath}/dim.parquet")
+Seq((3L, "g3"), (6L, "g6")).toDF("gk", "gname").write.mode("overwrite").parquet(s"${rsDir.getAbsolutePath}/grp.parquet")
+def rsRun(): Seq[String] = { val fact = spark.read.format("graft-parquet").load(s"${rsDir.getAbsolutePath}/fact.parquet"); val dim = spark.read.parquet(s"${rsDir.getAbsolutePath}/dim.parquet").where("tag = 'keep'"); val grp = spark.read.parquet(s"${rsDir.getAbsolutePath}/grp.parquet"); fact.join(dim, fact("k") === dim("dk")).join(grp, fact("grp") === grp("gk")).groupBy("tag").count().collect().map(_.toString).sorted.toSeq }
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "-1")
+spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "true")
+org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal = None
+val rsOn = rsRun()
+val rsPrune = org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val rsOff = rsRun()
+spark.conf.set("spark.graft.rpt.enabled", "true")
+spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1048576")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+println(s"[drive] rangeSummary rows=${rsOn.size} prune=$rsPrune resultsEqual=${rsOn == rsOff}")
+check(rsOn == rsOff, "range summary changed results")
+check(rsOn.nonEmpty, "range summary fixture produced no rows")
+check(rsPrune.exists { case (b, a) => a < b }, "over-cap range summary never pruned a file")
+
+// --- round 10: cross-query selectivity feedback ---
+// a no-win probe (build covers every fact key, keep-rate 1.0) must NOT be
+// re-injected on the second planning of the same shape; results unchanged
+// every build must cover its probe keys completely (keep-rate 1.0): a
+// filter-level keep measure is JOINT over the unit's probes, so one
+// selective co-probe would conservatively shield the useless ones
+spark.range(0, 40000).selectExpr("id as dk", "'keep' as tag").write.mode("overwrite").parquet(s"${rsDir.getAbsolutePath}/dimall.parquet")
+Seq.tabulate(97)(i => (i.toLong, s"g$i")).toDF("gk", "gname").write.mode("overwrite").parquet(s"${rsDir.getAbsolutePath}/grpall.parquet")
+def fbRun(): org.apache.spark.sql.DataFrame = { val fact = spark.read.parquet(s"${rsDir.getAbsolutePath}/fact.parquet"); val dim = spark.read.parquet(s"${rsDir.getAbsolutePath}/dimall.parquet").where("tag = 'keep'"); val grp = spark.read.parquet(s"${rsDir.getAbsolutePath}/grpall.parquet"); fact.join(dim, fact("k") === dim("dk")).join(grp, fact("grp") === grp("gk")).groupBy("tag").count() }
+// feedback records through the profiling listener (GraftSession registers
+// it automatically; plain sessions register it once, as here)
+spark.listenerManager.register(new graft.rpt.RptProfiling.RptProfilingListener(spark))
+spark.conf.set("spark.graft.rpt.probeFeedback", "true")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.graft.rpt.filteredBuildsOnly", "false")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+val fb1 = fbRun()
+val fbProbes1 = "might_contain".r.findAllIn(fb1.queryExecution.optimizedPlan.toString).length
+val fbRows1 = fb1.collect().map(_.toString).sorted.toSeq
+Thread.sleep(3000) // feedback recording rides the async listener bus
+val fb2 = fbRun()
+val fbProbes2 = "might_contain".r.findAllIn(fb2.queryExecution.optimizedPlan.toString).length
+val fbRows2 = fb2.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.probeFeedback", "false")
+spark.conf.set("spark.graft.rpt.filteredBuildsOnly", "true")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+println(s"[drive] probeFeedback probes $fbProbes1 -> $fbProbes2 resultsEqual=${fbRows1 == fbRows2}")
+check(fbProbes1 > 0, "feedback fixture planned no probes on first run")
+check(fbProbes2 < fbProbes1, "measured-useless probes were re-injected")
+check(fbRows1 == fbRows2, "probe feedback changed results")
+
+val driveExpected = 30
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
