@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, StreamingOps}
+
+/**
+ * Sustained-throughput pin for the stateful streaming operators (v08–v11).
+ * The correctness gates drain the whole fixture in ~one micro-batch, which
+ * hides the per-batch state-store commit cost that dominates a production
+ * micro-batched deployment (the r9 finding: commit cost, not data volume,
+ * priced the gate drains). This main splits the fixture into
+ * SPARK_GRAFT_STREAM_BATCHES time-ranged files, streams them one file per
+ * trigger, and reports per-op: batches, rows, rows/sec over the summed
+ * trigger time, and state-store commit ms per batch — from
+ * StreamingQueryProgress, the engine's own accounting.
+ *
+ * Output: a human table plus ONE machine line prefixed STREAMBENCH_JSON.
+ */
+object StreamBench {
+
+  private case class OpResult(
+      name: String, batches: Int, rows: Long, totalTrigMs: Long,
+      addBatchMs: Long, commitMs: Long) {
+    def rowsPerSec: Double =
+      if (totalTrigMs <= 0) 0.0 else rows * 1000.0 / totalTrigMs
+    def commitPerBatch: Double =
+      if (batches == 0) 0.0 else commitMs.toDouble / batches
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    val spark = GraftSession.build(appName = "graft-stream-bench")
+    // the gate-drain finding: per-partition state-store commits dominate
+    // small batches; a sustained deployment sizes this to throughput
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+
+    val tmp = Files.createTempDirectory("graft_streambench_").toFile
+    tmp.deleteOnExit()
+    val eventsDir = s"${tmp.getAbsolutePath}/events"
+    val docsDir = s"${tmp.getAbsolutePath}/docs"
+    // time-ranged files: triggers arrive in rough event-time order, so
+    // watermarks advance across batches like a live ingest
+    GraftSession.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartitionByRange(nBatches, col("ts"))
+      .write.mode("overwrite").parquet(eventsDir)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        expr("timestamp_micros(1000000000 + doc_id)").as("ts"))
+      .repartitionByRange(nBatches, col("ts"))
+      .write.mode("overwrite").parquet(docsDir)
+
+    def eventStream(): DataFrame = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(eventsDir)
+    def docStream(): DataFrame = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(docsDir)
+
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "v08_hourly_rollup" -> (() => StreamingOps.hourlyRollup(eventStream())),
+      "v09_sessionize" -> (() => StreamingOps.sessionize(
+        eventStream().as[Event]).toDF()),
+      "v10_interval_join" -> (() => StreamingOps.intervalJoin(
+        eventStream().where("event_type = 'click'"),
+        eventStream().where("event_type = 'purchase'"))),
+      "v11_dedup_exact" -> (() => StreamingOps.dedupExact(docStream())))
+
+    val results = ops.map { case (name, mk) =>
+      run(spark, name, mk())
+    }
+
+    println(f"${"op"}%-20s ${"batches"}%8s ${"rows"}%12s ${"rows/sec"}%12s ${"commit ms/batch"}%16s")
+    results.foreach { r =>
+      println(f"${r.name}%-20s ${r.batches}%8d ${r.rows}%,12d ${r.rowsPerSec}%,12.0f ${r.commitPerBatch}%16.1f")
+    }
+    val qJson = results.map { r =>
+      f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f}"""
+    }.mkString(",")
+    println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"ops":{$qJson}}""")
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, name: String,
+      streamed: DataFrame): OpResult = {
+    val sink = s"graft_streambench_${name}"
+    val query = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val progress = query.recentProgress.filter(_.numInputRows > 0)
+      def dur(key: String): Long = progress.map(p =>
+        Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L)).sum
+      OpResult(
+        name,
+        batches = progress.length,
+        rows = progress.map(_.numInputRows).sum,
+        totalTrigMs = dur("triggerExecution"),
+        addBatchMs = dur("addBatch"),
+        commitMs = progress.flatMap(_.stateOperators.map(_.commitTimeMs)).sum)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+}

@@ -109,7 +109,14 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a group fed from a stale file AFTER the global watermark
+              // advanced past last+gap would set an in-the-past timeout,
+              // which Spark rejects; clamp forward — the session closes at
+              // the next watermark advance, the earliest legal moment, with
+              // identical boundaries (surfaced by the multi-batch
+              // StreamBench run; the single-drain gates never see it)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
