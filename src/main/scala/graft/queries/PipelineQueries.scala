@@ -378,6 +378,56 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN off0 // 512 <> (off0 + n_tok - 1) // 512
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
         |FROM off
-        |GROUP BY source, off0 // 512""".stripMargin)
+        |GROUP BY source, off0 // 512""".stripMargin),
+
+    // exact per-source document quotas — the budgeted counterpart of t05's
+    // RATE sampling: a training mix that says "exactly 100 docs from every
+    // source", selected in deterministic hash order so the pick is
+    // reproducible across engines, reruns, and retried tasks (no rand(),
+    // no arbitrary file order). Scale shape: the selection uses the
+    // bounded TopK aggregate over the 40-bit doc hash — shuffle carries at
+    // most `quota` rows per source per partition instead of sorting every
+    // doc of every source the way the oracle's row_number() window does;
+    // the payload join-back then BROADCASTS the selected ids (quota ×
+    // n_sources rows) against the corpus, so no corpus shuffle at all.
+    // The hash is truncated to 40 bits because TopK ranks through a
+    // Double (exact ≤ 2^53); ordering ties (~n²/2^41) break on doc_id in
+    // both engines, so the pick stays exact even with collisions.
+    QueryDef("p07_quota_sample",
+      (spark, sfDir) => {
+        QueryDef.views(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        val quota = 100
+        val h40 = spark.table("documents").selectExpr(
+          "source", "doc_id",
+          "graft_hash60(concat('quota:', CAST(doc_id AS STRING))) % 1099511627776 AS h40")
+        val selected = h40.groupBy("source")
+          .agg(graft.ops.TopK.topK(quota)(
+            -col("h40").cast("double"), col("doc_id")).as("tk"))
+          .select(col("source"), explode(col("tk")).as("t"))
+          .select(col("source"),
+            (-col("t._1")).cast("long").as("h40"),
+            col("t._2").as("doc_id"))
+        spark.table("documents").select("doc_id", "n_chars")
+          .join(broadcast(selected), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sel"),
+            sum("n_chars").as("sel_chars"),
+            max("h40").as("h_threshold"))
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 1099511627776 AS h40
+        |  FROM documents),
+        |sel AS (
+        |  SELECT source, doc_id, n_chars, h40,
+        |         row_number() OVER (PARTITION BY source ORDER BY h40, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, count(*) AS n_sel,
+        |       CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+        |       max(h40) AS h_threshold
+        |FROM sel WHERE rn <= 100
+        |GROUP BY source""".stripMargin))
   )
 }

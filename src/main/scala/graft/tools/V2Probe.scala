@@ -110,11 +110,30 @@ object V2Probe {
       val bytes = GraftParquetScan.lastBytePruneGlobal
         .map { case (b, a) => s""","bytes_before":$b,"bytes_after":$a""" }
         .getOrElse("")
+      // v2 source + OVER-CAP build (cap forced below the filtered key
+      // count) + range-summary fallback: the key set is "too large to
+      // ship", so the rule pushes the literal OR-of-ranges summary
+      // instead — the reference's uncapped in-scan pushdown approximated
+      // without collecting the keys (rpt_optimizer.cpp:1401-1501)
+      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1000")
+      spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "true")
+      GraftParquetScan.lastFilePruneGlobal = None
+      GraftParquetScan.lastBytePruneGlobal = None
+      results("v2_range_summary") = timedMin(
+        chain("graft-parquet", dimFilter).collect().map(_.getLong(1)).sum)
+      val pruneRs = GraftParquetScan.lastFilePruneGlobal
+        .map { case (b, a) => s""""rs_files_before":$b,"rs_files_after":$a""" }
+        .getOrElse(""""rs_files_before":null,"rs_files_after":null""")
+      val bytesRs = GraftParquetScan.lastBytePruneGlobal
+        .map { case (b, a) => s""","rs_bytes_before":$b,"rs_bytes_after":$a""" }
+        .getOrElse("")
+      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "4000000")
+      spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
 
       val rows = results.values.map(_._1).toSet
       require(rows.size == 1, s"$regime: configs disagree: $results")
       if (ri > 0) out.append(",")
-      out.append(s""""$regime":{"rows":${rows.head},$prune$bytes,""")
+      out.append(s""""$regime":{"rows":${rows.head},$prune$bytes,$pruneRs$bytesRs,""")
       out.append(results.map { case (k, (_, s)) =>
         s""""$k":${math.round(s * 1000) / 1000.0}""" }.mkString(","))
       out.append(s""","speedup_vs_stock":${

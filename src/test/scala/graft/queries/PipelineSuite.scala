@@ -129,4 +129,39 @@ class PipelineSuite extends SparkTestBase {
     assert(rows("changed") == changedExpected,
       s"changed=${rows("changed")} expected $changedExpected")
   }
+
+  test("p07 quota sample matches the window form and never exceeds quota") {
+    val df = PipelineQueries.defs.find(_.name == "p07_quota_sample").get
+      .fn(spark, sfDir)
+    // self-oracle: the row_number() window form of the same selection,
+    // evaluated by Spark itself (the cross-engine hash equivalence is the
+    // DuckDB gate's job; this pins TopK-selection == window-selection)
+    val window = spark.sql(
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         graft_hash60(concat('quota:', CAST(doc_id AS STRING)))
+        |           % 1099511627776 AS h40
+        |  FROM documents),
+        |sel AS (
+        |  SELECT source, n_chars, h40,
+        |         row_number() OVER (PARTITION BY source ORDER BY h40, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, count(*) AS n_sel,
+        |       sum(n_chars) AS sel_chars,
+        |       max(h40) AS h_threshold
+        |FROM sel WHERE rn <= 100
+        |GROUP BY source""".stripMargin)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = window.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "TopK quota selection diverged from the window form")
+    assert(got.nonEmpty && got.values.forall(_._1 <= 100),
+      "a source exceeded its quota")
+    // the scale shape: payload join-back broadcasts the selected ids —
+    // the corpus side must not shuffle for the join
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"p07 join-back is not broadcast:\n$phys")
+  }
 }
