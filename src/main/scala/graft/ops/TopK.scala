@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions.udaf
 
 /**
  * Bounded top-k aggregate: keeps at most `2k` candidates per partial
- * buffer and trims to `k` at the end — a map-side-combining top-k whose
- * shuffle carries k rows per group per partition instead of every row.
+ * buffer and trims to `k` at merge/finish — a map-side-combining top-k
+ * whose shuffle carries at most ~2k rows per group per partition (the
+ * trim only fires when the buffer exceeds 2k, so a partial serialized at
+ * shuffle time can hold up to 2k+1 candidates) instead of every row.
  * The scale-correct alternative to `row_number() OVER (...) <= k` when
  * groups are huge (the window form sorts every row of every group).
  *
@@ -16,6 +18,11 @@ import org.apache.spark.sql.functions.udaf
  * like built-in aggregates ignore null inputs (the window form would
  * instead ORDER the nulls — callers needing null ranking should coalesce
  * first).
+ *
+ * Ranking goes through Double, which is exact only for |value| <= 2^53:
+ * a caller feeding larger longs (e.g. a full 60-bit hash) loses ranking
+ * precision and can diverge from a window-form oracle. p07 guards this
+ * with a 40-bit hash truncation; new callers must do the same.
  */
 object TopK {
 

@@ -798,10 +798,23 @@ private[rpt] object RuntimeCounts {
     }.orElse {
       try {
         val n = PredicateTransferRule.nested(SqlBridge.countRows(plan))
-        if (cache.size > 512) cache.clear()
+        if (cache.size > 512) evict(now)
         cache.put(key, (n, now))
         Some(n)
       } catch { case _: Exception => None }
+    }
+  }
+
+  /** Over-cap eviction: expired entries first, then the oldest half —
+    * keeps the newest feedback instead of thrashing a clear-all when a
+    * workload has >512 live unit shapes. */
+  private def evict(now: Long): Unit = synchronized {
+    if (cache.size <= 512) return
+    cache.entrySet().removeIf(e => now - e.getValue._2 >= TTL_NANOS)
+    if (cache.size > 512) {
+      import scala.jdk.CollectionConverters._
+      cache.asScala.toSeq.sortBy(_._2._2).take(cache.size / 2)
+        .foreach { case (k, _) => cache.remove(k) }
     }
   }
 

@@ -35,8 +35,24 @@ private[rpt] object ProbeFeedback {
 
   def record(key: String, keep: Double, rowsIn: Long): Unit = {
     if (rowsIn >= MinRows) {
-      if (cache.size > 512) cache.clear()
+      if (cache.size > MaxEntries) evict()
       cache.put(key, (keep, System.nanoTime()))
+    }
+  }
+
+  private val MaxEntries = 512
+
+  /** Over-cap eviction: drop expired entries first, then the oldest half
+    * if still over cap — a workload with >512 live probe shapes keeps its
+    * newest half of the feedback instead of thrashing a clear-all. */
+  private def evict(): Unit = synchronized {
+    if (cache.size <= MaxEntries) return
+    val now = System.nanoTime()
+    cache.entrySet().removeIf(e => now - e.getValue._2 >= TTL_NANOS)
+    if (cache.size > MaxEntries) {
+      import scala.jdk.CollectionConverters._
+      val oldestFirst = cache.asScala.toSeq.sortBy(_._2._2)
+      oldestFirst.take(cache.size / 2).foreach { case (k, _) => cache.remove(k) }
     }
   }
 

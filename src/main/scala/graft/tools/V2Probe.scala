@@ -115,6 +115,10 @@ object V2Probe {
       // ship", so the rule pushes the literal OR-of-ranges summary
       // instead — the reference's uncapped in-scan pushdown approximated
       // without collecting the keys (rpt_optimizer.cpp:1401-1501)
+      // save whatever the probe is currently running with so the restore
+      // below can't silently diverge from the setup values
+      val savedCap = spark.conf.get("spark.graft.rpt.v2ScanFilterMaxBuildRows")
+      val savedRs = spark.conf.getOption("spark.graft.rpt.rangeSummaryFallback")
       spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1000")
       spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "true")
       GraftParquetScan.lastFilePruneGlobal = None
@@ -127,8 +131,11 @@ object V2Probe {
       val bytesRs = GraftParquetScan.lastBytePruneGlobal
         .map { case (b, a) => s""","rs_bytes_before":$b,"rs_bytes_after":$a""" }
         .getOrElse("")
-      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "4000000")
-      spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
+      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", savedCap)
+      savedRs match {
+        case Some(v) => spark.conf.set("spark.graft.rpt.rangeSummaryFallback", v)
+        case None => spark.conf.unset("spark.graft.rpt.rangeSummaryFallback")
+      }
 
       val rows = results.values.map(_._1).toSet
       require(rows.size == 1, s"$regime: configs disagree: $results")

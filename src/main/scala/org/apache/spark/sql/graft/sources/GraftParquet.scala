@@ -160,8 +160,13 @@ class GraftParquetScan(base: ParquetScan)
             case l: V2Literal[_] => Some(l.value.asInstanceOf[Any])
             case _ => None
           }
+          // Drop null literals (a nullable build-side join key can emit
+          // them): null never equi-matches, so removing them is exact —
+          // and the comparators in fileMayContain / runtimeFilteredCopy
+          // are null-hostile. An all-null build set legitimately becomes
+          // the empty set, which prunes every file.
           if (vals.nonEmpty && vals.forall(_.isDefined))
-            Some(c -> vals.flatten) else None
+            Some(c -> vals.flatten.filterNot(_ == null)) else None
         case _ => None
       }
     }

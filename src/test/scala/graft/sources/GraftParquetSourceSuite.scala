@@ -375,6 +375,64 @@ class GraftParquetSourceSuite extends SparkTestBase {
     }
   }
 
+  test("null runtime key values are dropped, not NPE'd") {
+    // a NULLABLE build-side join key can put null literals into the
+    // runtime IN-set; nulls never equi-match, so the parse drops them —
+    // pre-fix, the UTF8String comparator in fileMayContain /
+    // runtimeFilteredCopy's vals.min(ord) NPE'd inside partitions()
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = spark.read.format("graft-parquet").load(factDir).where("grp >= 0")
+    val scan = scans(df.queryExecution.executedPlan).head.scan
+      .asInstanceOf[GraftParquetScan]
+    // string column: the null-hostile comparator path
+    scan.filter(Array(GraftParquetScan.inPredicate(
+      "payload", StringType, Seq(null, UTF8String.fromString("p17")))))
+    val parts = scan.toBatch.planInputPartitions() // NPE'd before the fix
+    assert(parts.nonEmpty)
+    scan.toBatch.createReaderFactory() // runtimeFilteredCopy min/max path
+    assert(fingerprint(df.where("payload = 'p17'")) ===
+      fingerprint(spark.read.parquet(factDir)
+        .where("grp >= 0 AND payload = 'p17'")))
+
+    // all-null build set: the empty IN-set legitimately prunes every file
+    val df2 = spark.read.format("graft-parquet").load(factDir).where("grp >= 1")
+    val scan2 = scans(df2.queryExecution.executedPlan).head.scan
+      .asInstanceOf[GraftParquetScan]
+    scan2.filter(Array(GraftParquetScan.inPredicate(
+      "payload", StringType, Seq(null, null))))
+    assert(scan2.toBatch.planInputPartitions().isEmpty,
+      "an all-null (hence empty) runtime key set matches no row")
+  }
+
+  test("end-to-end: nullable build key joins don't break the v2 splice") {
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("graft_v2dimnull_").toFile
+    dimDir.deleteOnExit()
+    // nullable join key with real nulls in the kept build rows
+    Seq((java.lang.Long.valueOf(100L), "keep"),
+        (null.asInstanceOf[java.lang.Long], "keep"),
+        (java.lang.Long.valueOf(200L), "keep"),
+        (java.lang.Long.valueOf(30000L), "drop"))
+      .toDF("dk", "tag").write.mode("overwrite")
+      .parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+    def run(): org.apache.spark.sql.DataFrame = {
+      val fact = spark.read.format("graft-parquet").load(factDir)
+      val dim = spark.read.parquet(s"${dimDir.getAbsolutePath}/dim.parquet")
+        .where("tag = 'keep'")
+      fact.join(dim, $"k" === $"dk").groupBy($"tag").count()
+    }
+    withConf(
+      "spark.graft.rpt.enabled" -> "true",
+      "spark.graft.rpt.minProbeRows" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val on = fingerprint(run())
+      val off = withConf("spark.graft.rpt.enabled" -> "false")(
+        fingerprint(run()))
+      assert(on === off)
+    }
+  }
+
   test("conflicting second filter() disables pruning instead of over-pruning") {
     val df = spark.read.format("graft-parquet").load(factDir)
     val scan = scans(df.queryExecution.executedPlan).head.scan
