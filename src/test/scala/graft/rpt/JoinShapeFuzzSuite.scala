@@ -130,15 +130,21 @@ class JoinShapeFuzzSuite extends SparkTestBase {
 
   private case class Generated(df: DataFrame, desc: String, nTables: Int)
 
-  /** Pure function of `(seed, tbls)` — replays exactly. Must be re-invoked
-    * per conf variant: a Dataset caches its QueryExecution, so reusing one
-    * DataFrame across variants would silently test one plan four times.
-    * `tbls` carries the worker session's own table DataFrames so instances
-    * can run on parallel sessions. */
-  private def generate(seed: Long, tbls: Map[String, DataFrame]): Generated = {
+  /** Pure function of `(seed, tbls, tblsV2)` — replays exactly. Must be
+    * re-invoked per conf variant: a Dataset caches its QueryExecution, so
+    * reusing one DataFrame across variants would silently test one plan
+    * four times. `tbls`/`tblsV2` carry the worker session's own table
+    * DataFrames (stock parquet and the runtime-filterable graft-parquet
+    * source) so instances can run on parallel sessions; ~1 in 4 aliases
+    * reads through the v2 source, fuzzing the in-scan splice path. */
+  private def generate(seed: Long, tbls: Map[String, DataFrame],
+      tblsV2: Map[String, DataFrame]): Generated = {
     val rnd = new scala.util.Random(seed)
     val desc = new StringBuilder
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    def tableFor(t: String): (DataFrame, String) =
+      if (rnd.nextInt(4) == 0) (tblsV2(t), "v2:") else (tbls(t), "")
 
     def maybeFilter(t: String, p: Double): Option[String] =
       if (rnd.nextDouble() < p) Some(pick(filterPool(t))) else None
@@ -149,34 +155,34 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // returns (unit plan, addressable source columns, selectivity estimate,
     // descriptor); barrier units keep ONLY the join column
     def buildUnit(id: Int, t: String, cc: String): (DataFrame, Set[String], Double, String) = {
-      val base = tbls(t)
+      val (base, srcTag) = tableFor(t)
       rnd.nextInt(10) match {
         case 0 | 1 => // grouped aggregate barrier
           val f = maybeFilter(t, 0.5)
           val d = f.map(base.where).getOrElse(base)
             .groupBy(col(cc)).agg(count(lit(1)).as("cnt"))
-          (prefixed(d, id), Set(cc), 0.8, s"agg(${f.getOrElse("")})")
+          (prefixed(d, id), Set(cc), 0.8, s"${srcTag}agg(${f.getOrElse("")})")
         case 2 => // window barrier (deterministic aggregate window, no ties)
           val f = maybeFilter(t, 0.5)
           val d = f.map(base.where).getOrElse(base)
             .select(col(cc),
               count(lit(1)).over(Window.partitionBy(col(cc))).as("wcnt"))
             .where(col("wcnt") >= 1)
-          (prefixed(d, id), Set(cc), 1.0, s"window(${f.getOrElse("")})")
+          (prefixed(d, id), Set(cc), 1.0, s"${srcTag}window(${f.getOrElse("")})")
         case 3 => // UNION ALL barrier (two filtered branches)
           val f1 = pick(filterPool(t)); val f2 = pick(filterPool(t))
           val d = base.where(f1).select(col(cc))
             .unionAll(base.where(f2).select(col(cc)))
-          (prefixed(d, id), Set(cc), 1.0, s"union($f1|$f2)")
+          (prefixed(d, id), Set(cc), 1.0, s"${srcTag}union($f1|$f2)")
         case 4 => // global aggregate barrier (one row)
           val f = maybeFilter(t, 0.5)
           val d = f.map(base.where).getOrElse(base).agg(max(col(cc)).as(cc))
-          (prefixed(d, id), Set(cc), 0.01, s"gagg(${f.getOrElse("")})")
+          (prefixed(d, id), Set(cc), 0.01, s"${srcTag}gagg(${f.getOrElse("")})")
         case _ => // plain (possibly filtered) table
           val f = maybeFilter(t, 0.55)
           val d = f.map(base.where).getOrElse(base)
           (prefixed(d, id), base.columns.toSet,
-            if (f.isDefined) 0.5 else 1.0, f.getOrElse("plain"))
+            if (f.isDefined) 0.5 else 1.0, srcTag + f.getOrElse("plain"))
       }
     }
 
@@ -241,13 +247,23 @@ class JoinShapeFuzzSuite extends SparkTestBase {
           case 2 => "left_anti"
           case _ => "inner"
         }
-        val cond = col(s"a${pa.id}_${e.pc}") === col(s"a${id}_${e.cc}")
+        // ~15% computed join keys: the same INJECTIVE transform on both
+        // sides (match structure identical to the bare-attribute edge, so
+        // no fan-out change) — fuzzes the rule's key extraction on
+        // non-attribute expressions (all edge keys are numeric)
+        val (cond, keyTag) = rnd.nextInt(7) match {
+          case 0 =>
+            ((col(s"a${pa.id}_${e.pc}") + lit(1)) ===
+              (col(s"a${id}_${e.cc}") + lit(1)), "+1")
+          case _ =>
+            (col(s"a${pa.id}_${e.pc}") === col(s"a${id}_${e.cc}"), "")
+        }
         acc = acc.join(unit, cond, jt)
         val keepsCols = jt == "inner" || jt == "left_outer"
         aliases :+= Alias(id, e.ct, if (keepsCols) ucols else Set.empty,
           attachable = keepsCols)
         if (keepsCols) est = math.max(1.0, est * e.fanout * sel)
-        desc ++= s" a$id=${e.ct}[$ud] $jt a${pa.id}.${e.pc}=${e.cc}"
+        desc ++= s" a$id=${e.ct}[$ud] $jt a${pa.id}.${e.pc}=${e.cc}$keyTag"
         if (aliases.size >= 3 && aliases.size < nTarget && rnd.nextInt(8) == 0)
           collapse()
       }
@@ -320,12 +336,27 @@ class JoinShapeFuzzSuite extends SparkTestBase {
           val s = spark.newSession()
           (sweepConfs ++ openGates :+ (RptConf.FAIL_FAST -> "true"))
             .foreach { case (k, v) => s.conf.set(k, v) }
-          val tbls = Seq("region", "nation", "customer", "supplier", "part",
+          val names = Seq("region", "nation", "customer", "supplier", "part",
             "orders", "lineitem")
-            .map(n => n -> s.read.parquet(s"$sfDir/$n.parquet")).toMap
+          val tbls =
+            names.map(n => n -> s.read.parquet(s"$sfDir/$n.parquet")).toMap
+          val tblsV2 = names.map(n => n ->
+            s.read.format("graft-parquet").load(s"$sfDir/$n.parquet")).toMap
           seeds.foreach { seed =>
+            // gate matrix: most seeds run the default gates; a slice runs
+            // the OVER-CAP range-summary path (cap -1 puts every build
+            // over it) and another the probe-feedback suppression path —
+            // both must stay result-identical to rule-off
+            val gates: Seq[(String, String)] = seed % 11 match {
+              case 0 => Seq(
+                RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1",
+                RptConf.RANGE_SUMMARY_FALLBACK -> "true")
+              case 1 => Seq(RptConf.PROBE_FEEDBACK -> "true")
+              case _ => Seq.empty
+            }
             try {
-              val gen0 = generate(seed.toLong, tbls)
+              gates.foreach { case (k, v) => s.conf.set(k, v) }
+              val gen0 = generate(seed.toLong, tbls, tblsV2)
               tablesTotal.addAndGet(gen0.nTables)
               tablesMin.getAndUpdate(m => math.min(m, gen0.nTables))
               s.conf.set(RptConf.ENABLED, "false")
@@ -335,7 +366,7 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 s.conf.set(RptConf.ENABLED, "true")
                 s.conf.set(RptConf.HEURISTIC, heur)
                 s.conf.set(RptConf.PASS_MODE, pass)
-                val gen = generate(seed.toLong, tbls) // fresh QueryExecution
+                val gen = generate(seed.toLong, tbls, tblsV2) // fresh QueryExecution
                 if ((heur, pass) == cs.head &&
                     gen.df.queryExecution.optimizedPlan.toString
                       .contains("might_contain")) {
@@ -343,11 +374,13 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
-                  s"seed=$seed $heur/$pass changed results ($on vs $off) for:\n${gen0.desc}")
+                  s"seed=$seed $heur/$pass gates=$gates changed results ($on vs $off) for:\n${gen0.desc}")
               }
             } catch {
               case e: Throwable => failures.add(
-                s"seed=$seed threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+                s"seed=$seed gates=$gates threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+            } finally {
+              gates.foreach { case (k, _) => s.conf.unset(k) }
             }
           }
         }
