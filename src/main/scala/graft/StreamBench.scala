@@ -67,6 +67,10 @@ object StreamBench {
       "v08_hourly_rollup" -> (() => StreamingOps.hourlyRollup(eventStream())),
       "v09_sessionize" -> (() => StreamingOps.sessionize(
         eventStream().as[Event]).toDF()),
+      // primitive-state variant (same semantics, 2-column state shuffle):
+      // benched side by side to price the typed-Encoder round-trip
+      "v09_sessionize_lite" -> (() => StreamingOps.sessionizeLite(
+        eventStream().as[Event]).toDF()),
       "v10_interval_join" -> (() => StreamingOps.intervalJoin(
         eventStream().where("event_type = 'click'"),
         eventStream().where("event_type = 'purchase'"))),

@@ -123,6 +123,67 @@ object StreamingOps {
       }
   }
 
+  /** Primitive-state variant of [[sessionize]] — identical session
+   *  semantics and output, leaner per-row cost. The stateful operator is
+   *  the op a 100 TB/day ingest feels first (STREAMBENCH r10), and its
+   *  per-row price is dominated by the typed-Encoder round-trip: the
+   *  standard form decodes all 5 [[Event]] fields (including a string)
+   *  per row and round-trips a case-class state. This form projects to
+   *  `(user_id, ts)` BEFORE the stateful op — the shuffle to the state
+   *  store carries 2 columns instead of 5, the per-row decode is two
+   *  primitives, and state is a flat (start, last, n) tuple. The session
+   *  logic is byte-for-byte the same decisions on the same two fields,
+   *  so output is bit-identical (pinned by StreamingOpsSuite and the v09
+   *  oracle gate). */
+  def sessionizeLite(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(start), new Timestamp(last), n))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some((start, last, n)) if t - last <= gapMs =>
+                  cur = Some((start, math.max(last, t), n + 1))
+                case Some((start, last, n)) =>
+                  closed ::= Session(userId, new Timestamp(start),
+                    new Timestamp(last), n)
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // same stale-file timeout clamp as sessionize
+              state.setTimeoutTimestamp(
+                math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication — the streaming analog of the batch
    *  d01/d02 dedup family: keep the FIRST document per content hash,
    *  emit survivors as they arrive. State is keyed by the 128-bit content

@@ -634,4 +634,42 @@ class StreamingOpsSuite extends SparkTestBase {
       assert(first.session_start == ts(0) && first.session_end == ts(5))
     } finally query.stop()
   }
+
+  test("sessionizeLite is bit-identical to sessionize on the events fixture") {
+    // the primitive-state variant must make the SAME session decisions on
+    // the same (user_id, ts) pairs — compare full output sets over the
+    // fixture, multi-batch (watermark advances between files) like a live
+    // ingest, including out-of-order arrivals within the watermark
+    import spark.implicits._
+    val evDf = graft.GraftSession.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sesslite_").toFile
+    tmp.deleteOnExit()
+    val dir = s"${tmp.getAbsolutePath}/events"
+    evDf.repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    def drain(mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[Session],
+        sink: String): Set[(Long, Long, Long, Long)] = {
+      val src = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(dir).as[Event]
+      val q = mk(src).writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        spark.table(sink).as[Session].collect().toSet.map(
+          (s: Session) => (s.user_id, s.session_start.getTime,
+            s.session_end.getTime, s.n_events))
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(sink)
+      }
+    }
+    val std = drain(StreamingOps.sessionize(_), "sess_std_sink")
+    val lite = drain(StreamingOps.sessionizeLite(_), "sess_lite_sink")
+    assert(std.nonEmpty, "fixture drain produced no sessions")
+    assert(lite === std,
+      s"lite diverged: only-std=${(std -- lite).take(3)} only-lite=${(lite -- std).take(3)}")
+  }
 }

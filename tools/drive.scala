@@ -223,6 +223,18 @@ check(fbProbes1 > 0, "feedback fixture planned no probes on first run")
 check(fbProbes2 < fbProbes1, "measured-useless probes were re-injected")
 check(fbRows1 == fbRows2, "probe feedback changed results")
 
-val driveExpected = 30
+// --- round 11: sessionizeLite (primitive-state variant) must be
+// bit-identical to sessionize on the fixture, driven at the library boundary
+import graft.streaming.{Event, Session, StreamingOps}
+val evSrcDir = java.nio.file.Files.createTempDirectory("drive_sess_").toString
+graft.GraftSession.normalizeTs(spark.read.parquet(s"$sf/events.parquet")).select("event_id", "ts", "user_id", "event_type", "value").repartitionByRange(3, org.apache.spark.sql.functions.col("ts")).write.mode("overwrite").parquet(evSrcDir)
+def sessDrain(lite: Boolean, sink: String): Set[String] = { val src = spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE").option("maxFilesPerTrigger", "1").parquet(evSrcDir).as[Event]; val ds = if (lite) StreamingOps.sessionizeLite(src) else StreamingOps.sessionize(src); val q = ds.writeStream.format("memory").queryName(sink).outputMode("append").start(); q.processAllAvailable(); q.stop(); val out = spark.table(sink).collect().map(_.toString).toSet; spark.catalog.dropTempView(sink); out }
+val sessStd = sessDrain(false, "drive_sess_std")
+val sessLite = sessDrain(true, "drive_sess_lite")
+println(s"[drive] sessionizeLite sessions=${sessLite.size} identical=${sessStd == sessLite}")
+check(sessStd.nonEmpty, "sessionize drained no sessions")
+check(sessStd == sessLite, "sessionizeLite diverged from sessionize")
+
+val driveExpected = 32
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
