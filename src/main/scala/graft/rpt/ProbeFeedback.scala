@@ -19,7 +19,7 @@ package graft.rpt
  * data change (new builds suddenly selective) re-enables probes within
  * minutes, mirroring [[RuntimeCounts]].
  */
-private[rpt] object ProbeFeedback {
+private[graft] object ProbeFeedback {
   private val TTL_NANOS = 10L * 60 * 1000 * 1000 * 1000 // 10 minutes
   /** Records below this many probed rows are noise — never suppress from
     * them (an empty or broadcast-pruned run measures nothing useful). */
@@ -62,7 +62,7 @@ private[rpt] object ProbeFeedback {
     }
 
   private[rpt] def size: Int = cache.size
-  private[rpt] def clear(): Unit = cache.clear()
+  private[graft] def clear(): Unit = cache.clear()
   private[rpt] def snapshot: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     cache.asScala.map { case (k, (keep, _)) => k -> keep }.toMap
