@@ -267,11 +267,15 @@ object StreamingQueries {
     // q25's gap sessionization via flatMapGroupsWithState with
     // event-time timeouts: the sentinel advances the watermark past
     // every user's last+gap, so ALL sessions close and the per-user
-    // session counts equal the batch window-function oracle.
+    // session counts equal the batch window-function oracle. Runs the
+    // primitive-state sessionizeLite form — bit-identical decisions,
+    // +26% rows/sec over the full-Event form (STREAMBENCH_r11: the
+    // stateful shuffle carries 2 columns instead of 5 and skips the
+    // per-row string decode).
     QueryDef("v09_stream_sessionize",
       (spark, sfDir) => {
         import spark.implicits._
-        val sessions = drain(spark, StreamingOps.sessionize(
+        val sessions = drain(spark, StreamingOps.sessionizeLite(
           dirStream(spark, eventStreamDir(spark, sfDir))
             .select("event_id", "ts", "user_id", "event_type", "value")
             .as[graft.streaming.Event], gapSeconds = 1800,
