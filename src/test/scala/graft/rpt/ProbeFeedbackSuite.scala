@@ -112,4 +112,27 @@ class ProbeFeedbackSuite extends SparkTestBase {
         "alias tags must be absent with feedback off")
     }
   }
+
+  test("over-cap eviction keeps the newest entries instead of clearing all") {
+    ProbeFeedback.clear()
+    try {
+      // 600 distinct probe shapes: the cap is 512, so eviction must fire —
+      // and the NEWEST records (the live workload) must survive it
+      (1 to 600).foreach { i =>
+        ProbeFeedback.record(s"shape_$i|k", keep = 0.99,
+          rowsIn = ProbeFeedback.MinRows)
+      }
+      assert(ProbeFeedback.size > 0 && ProbeFeedback.size <= 513,
+        s"cache size ${ProbeFeedback.size} escaped the cap")
+      // the most recent shapes are still suppressing; a clear-all would
+      // have lost them
+      assert(ProbeFeedback.suppress("shape_600|k", 0.98),
+        "newest entry was evicted")
+      assert(ProbeFeedback.suppress("shape_550|k", 0.98),
+        "recent entry was evicted")
+      // the oldest half is the evicted half
+      assert(!ProbeFeedback.suppress("shape_1|k", 0.98),
+        "oldest entry survived an over-cap eviction")
+    } finally ProbeFeedback.clear()
+  }
 }
