@@ -21,6 +21,12 @@ package graft
   * whose min exceeds 2x its pin after waiting for the box to go quiet, and
   * emits `"contended":true` when inflation persists — a dirty artifact now
   * self-identifies instead of entering the record as a regression.
+  *
+  * The guard also emits `cal_cpu_ms` / `cal_io_ms`: deterministic CPU and
+  * disk probes timed before Spark starts. Co-tenancy INSIDE the VM shows
+  * up in loadavg; a uniformly slower HOST (slow day on shared hardware)
+  * does not — but it scales these probes, so the cross-session ratio
+  * normalizes cross-day totals.
   */
 object Bench {
 
@@ -64,6 +70,57 @@ object Bench {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
+  /** Deterministic single-thread CPU calibration: fixed-count xorshift64
+    * loop, min of 3 (first run absorbs JIT). The absolute value is
+    * meaningless; the RATIO between two sessions' values approximates
+    * relative box speed, letting a reader normalize cross-day totals.
+    * Twice this round an apparent per-query regression was a uniformly
+    * slower box — the loadavg/JVM fields can't see that (they detect
+    * co-tenancy inside the VM, not a slow host), this can. */
+  private[graft] def cpuCalMs(): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 100000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (x == 42) print("") // keep the loop observable (defeat DCE)
+      dt
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** IO calibration: write + fsync + read 64 MB under target/ — the same
+    * filesystem shuffle files and spills land on, so a slow-disk session
+    * (which hits the shuffle-heavy tail hardest) shows up here. */
+  private[graft] def ioCalMs(): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5A.toByte)
+    val dir = java.nio.file.Paths.get("target")
+    try {
+      java.nio.file.Files.createDirectories(dir)
+      val f = java.nio.file.Files.createTempFile(dir, "graft_iocal", ".tmp")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          (1 to 64).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(buf)))
+          ch.force(true)
+        } finally ch.close()
+        val in = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val rb = java.nio.ByteBuffer.allocate(1 << 20)
+          while (in.read(rb) > 0) rb.clear()
+        } finally in.close()
+        (System.nanoTime() - t0) / 1e6
+      } finally java.nio.file.Files.deleteIfExists(f)
+    } catch { case _: Exception => -1.0 }
+  }
+
   /** Poll until 1-min load drops under `cores/2` or the budget runs out;
     * returns whether quiet was reached. Our own just-idled JVM contributes
     * decaying load, hence the generous threshold. */
@@ -89,6 +146,10 @@ object Bench {
     val jvmsBefore = jvmCount
     val cores = Runtime.getRuntime.availableProcessors()
     val pins = priorPins(".", sfDir)
+    // box-speed calibration before Spark spins up (idle machine, cold JVM):
+    // cross-session ratios of these normalize cross-day totals
+    val calCpu = cpuCalMs()
+    val calIo = ioCalMs()
     val spark = GraftSession.build(appName = "graft-bench")
     // warm the JVM/session on the smallest fixture so per-query numbers
     // measure the queries, not first-use initialization
@@ -144,7 +205,8 @@ object Bench {
     val jvmsAfter = jvmCount
     val guard = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
       s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
-      s""""reruns":$rerun,"contended":$contended"""
+      s""""reruns":$rerun,"contended":$contended,""" +
+      f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f"""
     def jsonLine(keyed: Seq[(String, Double)]): String = {
       val qs = keyed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")

@@ -21,6 +21,19 @@ class BenchGuardSuite extends AnyFunSuite {
     assert(pins.values.forall(_ >= 0))
   }
 
+  test("calibration probes return positive, repeatable timings") {
+    val cpu1 = Bench.cpuCalMs()
+    val cpu2 = Bench.cpuCalMs()
+    assert(cpu1 > 0 && cpu2 > 0)
+    // same JVM, same box: the two readings must be the same order of
+    // magnitude (the cross-session RATIO is the useful signal; a probe
+    // this unstable within one process would be useless for it)
+    assert(math.max(cpu1, cpu2) / math.min(cpu1, cpu2) < 5.0,
+      s"cpu calibration unstable: $cpu1 vs $cpu2")
+    val io = Bench.ioCalMs()
+    assert(io > 0, s"io calibration failed: $io")
+  }
+
   test("priorPins is empty on an sf mismatch and a dir with no artifacts") {
     assert(Bench.priorPins("/root/repo", "/root/testdata/sf0.001").isEmpty)
     val tmp = java.nio.file.Files.createTempDirectory("bench_pins_").toFile
