@@ -347,14 +347,18 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // so the transfer's shuffle saving is zero" — a SINGLE-join argument.
     // On deep graphs it does not hold: a transferred reduction is consumed
     // by every downstream join the reduced rows flow through, so the
-    // payoff compounds with depth while the build cost stays constant
-    // (measured at sf1: the 14/17-table q35/q36 run 1.4–1.7× with
-    // transfers even when every individual join converts to broadcast,
-    // while the 3–5-table shapes lose 15–30%). Deep plans therefore fall
-    // back to the bare threshold compare.
-    val bcMargin =
-      if (graph.edges.size >= RptConf.deepPlanEdges(conf)) 1.0
-      else RptConf.broadcastConversionMargin(conf)
+    // payoff compounds with depth while the build cost stays constant,
+    // and a broadcast hash join still PROBES every fact row it receives —
+    // rows removed by a transfer are hash lookups, join output, and
+    // upstream scan bytes saved at every level even when nothing shuffles.
+    // Measured on the 13–16-edge q35/q36/q27 with every individual join
+    // broadcastable: bypassing the skip entirely runs 1.5–2× faster at
+    // sf1 and 3–10× at sf10 (default regime sat at the rule-off time),
+    // while the 3–5-table shapes lose 15–30% with probes — the margin
+    // protects those. Deep plans therefore skip the broadcast gate
+    // altogether; shallow plans keep the margin-widened compare.
+    val deepPlan = graph.edges.size >= RptConf.deepPlanEdges(conf)
+    val bcMargin = RptConf.broadcastConversionMargin(conf)
     val v2ScanFilter = RptConf.v2ScanFilter(conf)
     val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
     // output ExprIds of runtime-filterable v2 relations in a unit plan —
@@ -486,7 +490,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         (buildProbeRatio > 0 &&
           graph.units(op.build).card * buildProbeRatio >
             graph.units(op.probe).card) ||
-        (skipBroadcastable && bcThreshold > 0 && {
+        (skipBroadcastable && !deepPlan && bcThreshold > 0 && {
           // skip when the build–probe JOIN will run as a broadcast join —
           // whichever input is smaller gets broadcast, and AQE converts
           // using runtime (filtered, shuffle-compressed) sizes that the

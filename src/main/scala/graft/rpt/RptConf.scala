@@ -88,12 +88,16 @@ object RptConf {
    *  across r08/r09 runs). 1.0 = the pre-margin behavior; the shuffle
    *  regime (threshold -1) is unaffected at any value. */
   val BROADCAST_CONVERSION_MARGIN = "spark.graft.rpt.broadcastConversionMargin"
-  /** Join-graph edge count at and above which the conversion margin
-   *  falls back to 1.0 (bare threshold): on deep graphs a transferred
-   *  reduction compounds through every downstream join, so transfers pay
-   *  even where each individual join broadcasts (q35/q36 measured
-   *  1.4–1.7× in the broadcast regime; the 3–5-table shapes lose
-   *  15–30% — the margin protects those). */
+  /** Join-graph edge count at and above which the broadcast-skip gate is
+   *  bypassed entirely: on deep graphs a transferred reduction compounds
+   *  through every downstream join, and a broadcast hash join still
+   *  probes every fact row it receives — so transfers pay even where
+   *  each individual join broadcasts. Measured on 13–16-edge shapes with
+   *  every join under the threshold: 1.5–2× at sf1, 3–10× at sf10 over
+   *  the gated plan (which sat at rule-off time); the 3–5-table shapes
+   *  lose 15–30% with probes — the margin-widened skip protects those
+   *  below this edge count. (Until round 11 this only dropped the margin
+   *  to 1.0, which still stood down every under-threshold build.) */
   val DEEP_PLAN_EDGES = "spark.graft.rpt.deepPlanEdges"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe

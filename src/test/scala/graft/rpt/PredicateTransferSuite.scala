@@ -418,6 +418,20 @@ class PredicateTransferSuite extends SparkTestBase {
       assert(shallow == 0, s"shallow plan transferred ($shallow probes)")
       assert(deep > 0, "deep plan lost its transfers to the margin")
     }
+    // round 11: deep plans bypass the skip entirely — even a threshold
+    // bigger than every unit (every join individually broadcastable, so
+    // the pre-r11 bare-threshold fallback stood everything down) must
+    // keep the deep plan's transfers (measured 1.5–2× at sf1, 3–10× at
+    // sf10: a BHJ still probes every fact row, so reductions pay without
+    // saving a shuffle)
+    withConf(RptConf.ENABLED -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> (1L << 40).toString) {
+      val deep = "might_contain".r.findAllIn(
+        graft.SparkEntry.queries("q35_job_depth")(spark, sfDir)
+          .queryExecution.optimizedPlan.toString).length
+      assert(deep > 0,
+        "deep plan lost its transfers to the all-broadcastable skip")
+    }
   }
 
   test("executes with whole-stage codegen filters (physical sanity)") {
