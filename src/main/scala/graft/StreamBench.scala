@@ -71,6 +71,10 @@ object StreamBench {
       // benched side by side to price the typed-Encoder round-trip
       "v09_sessionize_lite" -> (() => StreamingOps.sessionizeLite(
         eventStream().as[Event]).toDF()),
+      // built-in session_window aggregation (no per-row closure at all):
+      // the fully-native candidate benched against both closure forms
+      "v09_sessionize_native" -> (() => StreamingOps.sessionizeNative(
+        eventStream().as[Event]).toDF()),
       "v10_interval_join" -> (() => StreamingOps.intervalJoin(
         eventStream().where("event_type = 'click'"),
         eventStream().where("event_type = 'purchase'"))),

@@ -65,6 +65,27 @@ object StreamingOps {
         unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Exact microsecond view of a Timestamp. `getTime` is millisecond-grain
+   *  and silently truncates sub-ms digits — the batch oracle compares
+   *  `unix_micros`, so a sub-ms arrival exactly at the gap boundary would
+   *  merge under ms arithmetic where the oracle splits (caught by the
+   *  round-11 exact-gap boundary test; fixture timestamps are ms-aligned,
+   *  which is why the gates never saw it). */
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Event-time timeout for a session whose last event is at `lastUs`:
+   *  the earliest millisecond AT OR AFTER last+gap (ceiling — firing a
+   *  sub-ms early could close a session the oracle keeps open). */
+  private def timeoutMsFor(lastUs: Long, gapUs: Long, watermarkMs: Long): Long =
+    math.max(math.floorDiv(lastUs + gapUs + 999L, 1000L), watermarkMs + 1)
+
   /** Gap-based sessionization with custom keyed state — the streaming
    *  analog of q25_events_sessionize, built on flatMapGroupsWithState with
    *  event-time timeouts. A session closes when `gapSeconds` pass without
@@ -76,7 +97,7 @@ object StreamingOps {
       watermark: String = "30 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     events
       .withWatermark("ts", watermark)
@@ -89,19 +110,18 @@ object StreamingOps {
             val s = state.get
             state.remove()
             Iterator.single(
-              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+              Session(userId, microsTs(s.start), microsTs(s.last), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.map(e => tsMicros(e.ts)).sorted
             var closed = List.empty[Session]
             var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n)
+                  closed ::= Session(userId, microsTs(s.start),
+                    microsTs(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -116,7 +136,7 @@ object StreamingOps {
               // identical boundaries (surfaced by the multi-batch
               // StreamBench run; the single-drain gates never see it)
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                timeoutMsFor(s.last, gapUs, state.getCurrentWatermarkMs()))
             }
             closed.reverseIterator
           }
@@ -141,7 +161,7 @@ object StreamingOps {
       watermark: String = "30 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     events
       .withWatermark("ts", watermark)
@@ -156,18 +176,18 @@ object StreamingOps {
             val (start, last, n) = state.get
             state.remove()
             Iterator.single(
-              Session(userId, new Timestamp(start), new Timestamp(last), n))
+              Session(userId, microsTs(start), microsTs(last), n))
           } else {
-            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            val sorted = rows.map(r => tsMicros(r._2)).toSeq.sorted
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some((start, last, n)) if t - last <= gapMs =>
+                case Some((start, last, n)) if t - last <= gapUs =>
                   cur = Some((start, math.max(last, t), n + 1))
                 case Some((start, last, n)) =>
-                  closed ::= Session(userId, new Timestamp(start),
-                    new Timestamp(last), n)
+                  closed ::= Session(userId, microsTs(start),
+                    microsTs(last), n)
                   cur = Some((t, t, 1L))
                 case None =>
                   cur = Some((t, t, 1L))
@@ -177,11 +197,54 @@ object StreamingOps {
               state.update(s)
               // same stale-file timeout clamp as sessionize
               state.setTimeoutTimestamp(
-                math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+                timeoutMsFor(s._2, gapUs, state.getCurrentWatermarkMs()))
             }
             closed.reverseIterator
           }
       }
+  }
+
+  /** Built-in `session_window` form of [[sessionize]] — the fully native
+   *  path: a streaming session-window AGGREGATION (merging session state
+   *  store, codegen'd aggregation, no per-row Scala closure or typed
+   *  Encoder round-trip anywhere). Spark merges session windows on
+   *  OVERLAP OR ADJACENCY (`currentEnd >= nextStart`, i.e. an event at
+   *  exactly `last + gap` joins the session) — the same inclusive
+   *  `ts - last <= gap` boundary as [[sessionize]] and the batch oracle,
+   *  so the gap passes through unmodified (pinned by the exact-gap
+   *  boundary test below: exactly-gap merges, gap + 1 microsecond
+   *  splits). The emitted `session_end` subtracts the gap off
+   *  `window.end` (= last event + gap), recovering the last event time
+   *  exactly in integer microsecond arithmetic. Output is bit-identical
+   *  to [[sessionize]]/[[sessionizeLite]] for any arrival pattern within
+   *  the watermark (StreamingOpsSuite + the v09 oracle gate). The one
+   *  boundary divergence is rows arriving LATER than the watermark
+   *  allows — discarded data by contract in both forms, but at slightly
+   *  different cutoffs: flatMapGroupsWithState drops rows with
+   *  `ts < watermark`, while the aggregation drops sessions whose window
+   *  end has passed, i.e. `ts + gap < watermark` — this form salvages up
+   *  to one gap more of lateness. Choose per pipeline; the gates feed
+   *  ordered single-batch sources where the cutoffs never engage. */
+  def sessionizeNative(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMicros microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        timestamp_micros(unix_micros(col("session_window.end")) - gapMicros)
+          .as("session_end"),
+        col("n_events"))
+      .as[Session]
   }
 
   /** Streaming exact deduplication — the streaming analog of the batch

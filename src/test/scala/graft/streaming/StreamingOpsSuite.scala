@@ -649,6 +649,26 @@ class StreamingOpsSuite extends SparkTestBase {
     val dir = s"${tmp.getAbsolutePath}/events"
     evDf.repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource feeds files in MODIFICATION-TIME order, which for
+    // same-second part files is effectively random — a later range
+    // arriving first advances the watermark and late-DROPS earlier
+    // ranges, and the two stateful machineries drop late rows at
+    // different boundaries (flatMapGroupsWithState: ts < watermark;
+    // session-window aggregation: ts + gap < watermark), so bit-identity
+    // only holds under in-watermark arrival. Stamp mtimes in range order
+    // (part-0000k is the k-th range) so batches arrive in ts order, as
+    // the single-file+sentinel v09 gate guarantees by construction.
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1600000000000L + i * 60000L) }
+    // without a sentinel the emitted suffix depends on which sessions'
+    // timers/windows the final watermark reached before the drain went
+    // idle — a far-future event (the v09 gate's pattern) pushes the
+    // watermark past every session end so ALL sessions emit in every
+    // form and the comparison is over complete, deterministic sets
+    val maxTs = evDf.agg(org.apache.spark.sql.functions.max("ts"))
+      .head.getTimestamp(0)
     def drain(mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[Session],
         sink: String): Set[(Long, Long, Long, Long)] = {
       val src = spark.readStream
@@ -658,9 +678,15 @@ class StreamingOpsSuite extends SparkTestBase {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
+        Seq((-1L, new Timestamp(maxTs.getTime + 100L * 3600 * 1000), -1L,
+          "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
         spark.table(sink).as[Session].collect().toSet.map(
           (s: Session) => (s.user_id, s.session_start.getTime,
             s.session_end.getTime, s.n_events))
+          .filter(_._1 >= 0) // drop the sentinel's own session if closed
       } finally {
         q.stop()
         spark.catalog.dropTempView(sink)
@@ -671,5 +697,47 @@ class StreamingOpsSuite extends SparkTestBase {
     assert(std.nonEmpty, "fixture drain produced no sessions")
     assert(lite === std,
       s"lite diverged: only-std=${(std -- lite).take(3)} only-lite=${(lite -- std).take(3)}")
+    val native = drain(StreamingOps.sessionizeNative(_), "sess_nat_sink")
+    assert(native === std,
+      s"native diverged: only-std=${(std -- native).take(3)} only-nat=${(native -- std).take(3)}")
+  }
+
+  test("sessionizeNative merges an EXACT-gap arrival like the closure forms") {
+    // the built-in session_window merges on ts < last + gap (strict);
+    // sessionize and the batch oracle merge on diff <= gap. The 1-us gap
+    // widening must make a diff of EXACTLY gapSeconds merge, and a diff
+    // of gap + 1us split — pinned here because no fixture row is
+    // guaranteed to land exactly on the boundary
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exact-gap chain: 0, +1800s (exactly gap: MUST merge), then
+    // +1800.000001s after that (gap + 1us: MUST split)
+    def runBoundary(mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[Session],
+        sink: String): Set[(Long, Long, Long, Long)] = {
+      val ms = MemoryStream[Event]
+      val base = 1700000000000000L
+      def ev(id: Long, us: Long) = { val t = new Timestamp(us / 1000)
+        t.setNanos(((us % 1000000) * 1000).toInt)
+        Event(id, t, 7L, "click", 0.0) }
+      ms.addData(
+        ev(1, base),
+        ev(2, base + 1800L * 1000000),                      // exactly gap
+        ev(3, base + 1800L * 1000000 + 1800L * 1000000 + 1)) // gap + 1us
+      val q = mk(ms.toDS()).writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        ms.addData(ev(99, base + 100L * 3600 * 1000000))
+        q.processAllAvailable()
+        spark.table(sink).as[Session].collect().toSet.map(
+          (s: Session) => (s.user_id, s.session_start.getTime,
+            s.session_end.getTime, s.n_events))
+      } finally { q.stop(); spark.catalog.dropTempView(sink) }
+    }
+    val std = runBoundary(StreamingOps.sessionize(_), "bnd_std")
+    val nat = runBoundary(StreamingOps.sessionizeNative(_), "bnd_nat")
+    assert(std.exists(_._4 == 2L),
+      s"closure form must merge the exact-gap arrival: $std")
+    assert(nat === std, s"native boundary diverged: std=$std nat=$nat")
   }
 }
