@@ -223,18 +223,27 @@ check(fbProbes1 > 0, "feedback fixture planned no probes on first run")
 check(fbProbes2 < fbProbes1, "measured-useless probes were re-injected")
 check(fbRows1 == fbRows2, "probe feedback changed results")
 
-// --- round 11: sessionizeLite (primitive-state variant) must be
-// bit-identical to sessionize on the fixture, driven at the library boundary
+// --- round 11: sessionizeLite and sessionizeNative must be bit-identical to
+// sessionize on the fixture, driven at the library boundary. Part files are
+// mtime-stamped in range order (FileStreamSource feeds files in mtime order;
+// unordered arrival late-drops rows at form-specific cutoffs) and each drain
+// appends a far-future sentinel so every session closes and the comparison
+// is over COMPLETE, deterministic sets (previously the emitted suffix
+// depended on drain timing - the same fix as the suite identity test).
 import graft.streaming.{Event, Session, StreamingOps}
 val evSrcDir = java.nio.file.Files.createTempDirectory("drive_sess_").toString
 graft.GraftSession.normalizeTs(spark.read.parquet(s"$sf/events.parquet")).select("event_id", "ts", "user_id", "event_type", "value").repartitionByRange(3, org.apache.spark.sql.functions.col("ts")).write.mode("overwrite").parquet(evSrcDir)
-def sessDrain(lite: Boolean, sink: String): Set[String] = { val src = spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE").option("maxFilesPerTrigger", "1").parquet(evSrcDir).as[Event]; val ds = if (lite) StreamingOps.sessionizeLite(src) else StreamingOps.sessionize(src); val q = ds.writeStream.format("memory").queryName(sink).outputMode("append").start(); q.processAllAvailable(); q.stop(); val out = spark.table(sink).collect().map(_.toString).toSet; spark.catalog.dropTempView(sink); out }
-val sessStd = sessDrain(false, "drive_sess_std")
-val sessLite = sessDrain(true, "drive_sess_lite")
-println(s"[drive] sessionizeLite sessions=${sessLite.size} identical=${sessStd == sessLite}")
+new java.io.File(evSrcDir).listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex.foreach { case (f, i) => f.setLastModified(1600000000000L + i * 60000L) }
+val sessMaxTs = spark.read.parquet(evSrcDir).agg(org.apache.spark.sql.functions.max("ts")).head.getTimestamp(0)
+def sessDrain(form: String, sink: String): Set[String] = { val src = spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE").option("maxFilesPerTrigger", "1").parquet(evSrcDir).as[Event]; val ds = form match { case "lite" => StreamingOps.sessionizeLite(src); case "native" => StreamingOps.sessionizeNative(src); case _ => StreamingOps.sessionize(src) }; val q = ds.writeStream.format("memory").queryName(sink).outputMode("append").start(); q.processAllAvailable(); Seq((-1L, new java.sql.Timestamp(sessMaxTs.getTime + 360000000L), -1L, "sentinel", 0.0)).toDF("event_id", "ts", "user_id", "event_type", "value").write.mode("append").parquet(evSrcDir); q.processAllAvailable(); q.stop(); val out = spark.table(sink).as[Session].collect().filter(_.user_id >= 0).map(_.toString).toSet; spark.catalog.dropTempView(sink); out }
+val sessStd = sessDrain("std", "drive_sess_std")
+val sessLite = sessDrain("lite", "drive_sess_lite")
+val sessNative = sessDrain("native", "drive_sess_native")
+println(s"[drive] sessionize forms sessions=${sessStd.size} lite==std=${sessStd == sessLite} native==std=${sessStd == sessNative}")
 check(sessStd.nonEmpty, "sessionize drained no sessions")
 check(sessStd == sessLite, "sessionizeLite diverged from sessionize")
+check(sessStd == sessNative, "sessionizeNative diverged from sessionize")
 
-val driveExpected = 32
+val driveExpected = 33
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
