@@ -38,6 +38,13 @@ object StreamBench {
     // the gate-drain finding: per-partition state-store commits dominate
     // small batches; a sustained deployment sizes this to throughput
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STREAM_STORE=rocksdb benches the off-heap store — the
+    // 100 TB/day configuration (state out of the JVM heap, incremental
+    // snapshot uploads) — against the default HDFS-backed in-memory map
+    val store = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "default")
+    if (store == "rocksdb") spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     val tmp = Files.createTempDirectory("graft_streambench_").toFile
@@ -55,6 +62,17 @@ object StreamBench {
         expr("timestamp_micros(1000000000 + doc_id)").as("ts"))
       .repartitionByRange(nBatches, col("ts"))
       .write.mode("overwrite").parquet(docsDir)
+    // FileStreamSource feeds files in MODIFICATION-TIME order, which for
+    // same-second part files is effectively random — stamp mtimes in range
+    // order (part-0000k is the k-th time range) so triggers really do
+    // arrive in event-time order and runs are comparable across rounds
+    // (unordered arrival late-drops rows at the stateful ops)
+    Seq(eventsDir, docsDir).foreach { d =>
+      new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1600000000000L + i * 60000L) }
+    }
 
     def eventStream(): DataFrame = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
