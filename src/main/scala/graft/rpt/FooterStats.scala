@@ -137,6 +137,36 @@ object FooterStats extends PredicateHelper {
     }
   }
 
+  /** Footer [min, max] of `attr`'s column on the parquet-backed leaf that
+    * owns it (v1 `LogicalRelation` or a v2 parquet relation), in the
+    * Catalyst-comparable double domain (timestamps in micros, dates in
+    * days). Zero-execution — this is what sizes the over-cap quantization
+    * grid ([[RptConf.V2_QUANTIZED_OVER_CAP]]), where the range only sets
+    * RESOLUTION and staleness cannot affect correctness. None when no
+    * single leaf owns the attribute, the leaf isn't parquet-backed, or
+    * the column's chunk statistics are unusable. */
+  def columnRange(plan: LogicalPlan, attr: AttributeReference)
+      : Option[(Double, Double)] = {
+    val leaves = plan.collectLeaves()
+      .filter(_.output.exists(_.exprId == attr.exprId))
+    leaves match {
+      case Seq(leaf) =>
+        val name = leaf.output.find(_.exprId == attr.exprId).get.name
+        val ranges = leaf match {
+          case lr: LogicalRelation => rangesFor(lr)
+          case other =>
+            org.apache.spark.sql.graft.sources.V2RelationFiles
+              .parquetFiles(other).flatMap { files =>
+                rangesForFiles(files.filter(_.getLen > 0),
+                  org.apache.spark.sql.SparkSession.active.sessionState
+                    .newHadoopConf())
+              }
+        }
+        ranges.flatMap(_.get(name)).map(r => (r.min, r.max))
+      case _ => None
+    }
+  }
+
   /** Column ranges of a parquet-backed leaf, aggregated over up to
     * [[MaxFooters]] file footers; columns with any missing/unusable chunk
     * statistics are absent from the map. */
@@ -147,12 +177,19 @@ object FooterStats extends PredicateHelper {
         val files = Try(fs.location.listFiles(Nil, Nil).flatMap(_.files))
           .getOrElse(Seq.empty)
           .filter(_.getLen > 0)
+        rangesForFiles(files, fs.sparkSession.sessionState.newHadoopConf())
+      case _ => None
+    }
+
+  private def rangesForFiles(
+      files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[Map[String, ColRange]] = {
         if (files.isEmpty) return None
         val key = files.size + ":" +
           files.map(f => s"${f.getPath}#${f.getLen}").sorted.mkString("|")
             .hashCode
         Option(cache.computeIfAbsent(key, _ => Try {
-          val conf = fs.sparkSession.sessionState.newHadoopConf()
           val sample = files.sortBy(_.getPath.toString).take(MaxFooters)
           // per column: (min, max, nulls, usable)
           val acc = scala.collection.mutable.Map[String,
@@ -185,8 +222,7 @@ object FooterStats extends PredicateHelper {
                 math.max(0.0, math.min(1.0, nulls.toDouble / rows)))
           }.toMap
         }.getOrElse(Map.empty))).filter(_.nonEmpty)
-      case _ => None
-    }
+  }
 
   /** (min, max, numNulls) of one column chunk in the Catalyst-comparable
     * domain, or None when the chunk's statistics can't support a range

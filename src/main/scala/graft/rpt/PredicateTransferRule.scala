@@ -361,6 +361,55 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val bcMargin = RptConf.broadcastConversionMargin(conf)
     val v2ScanFilter = RptConf.v2ScanFilter(conf)
     val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
+    // Over-cap quantized in-scan transfer (see RptConf.V2_QUANTIZED_OVER_CAP
+    // and the GraftParquetScan scaladoc). Requires stock DPP cleanup to be
+    // active: CleanupDynamicPruningFilters is what guarantees a
+    // DynamicPruning predicate either reaches a supporting scan's runtime
+    // filters or is REMOVED — never row-evaluated. Row evaluation is fine
+    // for the exact under-cap key set (a redundant semi-filter) but wrong
+    // for quantized anchors, whose IN-set reading is not their semantics.
+    val quantOn = v2ScanFilter && RptConf.v2QuantizedOverCap(conf) &&
+      conf.dynamicPartitionPruningEnabled
+    val quantBuckets = math.max(1, RptConf.v2QuantBuckets(conf))
+    // probe relation instance -> (lower-cased column -> grid width);
+    // injected into the relation's read options after the final splice
+    val quantInjections =
+      new JIdentityHashMap[LogicalPlan, mutable.Map[String, Long]]()
+    // First registration of a (relation, column) wins: the scan holds ONE
+    // width per column, and anchors built with the registered width keep
+    // the [anchor, anchor+width] coverage invariant for every later op.
+    def registerQuant(rel: LogicalPlan, col: String, w: Long): Long = {
+      val m = Option(quantInjections.get(rel)).getOrElse {
+        val nm = mutable.Map[String, Long](); quantInjections.put(rel, nm); nm
+      }
+      m.getOrElseUpdate(col.toLowerCase(java.util.Locale.ROOT), w)
+    }
+    // Grid width from zero-execution footer stats of the build key's leaf.
+    // The width only sets pruning RESOLUTION: quantization is total over
+    // the key domain, so a stale footer range can never affect
+    // correctness, only the delivered anchor count (~span/width).
+    val quantWidthMemo = mutable.HashMap[(Int, String), Option[Long]]()
+    def quantWidthFor(buildId: Int, bk: AttributeReference,
+        buildPlan: LogicalPlan): Option[Long] =
+      quantWidthMemo.getOrElseUpdate(
+        (buildId, bk.canonicalized.toString), {
+          FooterStats.columnRange(buildPlan, bk).flatMap { case (mn, mx) =>
+            val bound = (1L << 61).toDouble // keep long arithmetic exact
+            if (!java.lang.Double.isFinite(mn) ||
+                !java.lang.Double.isFinite(mx) || mx < mn ||
+                math.max(math.abs(mn), math.abs(mx)) > bound) None
+            else Some(math.max(1L,
+              math.ceil((mx - mn + 1.0) / quantBuckets).toLong))
+          }
+        })
+    def quantExpr(bk: AttributeReference, w: Long): Option[Expression] =
+      PredicateTransferRule.quantExpr(bk, w)
+    def graftRelationFor(plan: LogicalPlan, id: ExprId): Option[LogicalPlan] =
+      plan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[org.apache.spark.sql.graft.sources.GraftParquetTable] &&
+              r.output.exists(_.exprId == id) => r
+      }
     // output ExprIds of runtime-filterable v2 relations in a unit plan —
     // only attrs passing through filters untouched qualify (an aliasing
     // Project breaks the direct column mapping the v2 engine needs)
@@ -597,15 +646,52 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             }
           }
         }
+        // quant DPS conds are SCAN-ONLY: their row-filter reading ("pk IN
+        // anchors") is NOT their semantics (the marked scan interprets
+        // each anchor as a [v, v+w] range), so they ride to the final
+        // splice but never into cur — a build snapshot (cascade form)
+        // embedding one as a row filter would drop legitimate rows
+        val scanOnlyConds = mutable.ArrayBuffer[Expression]()
+        val quantHandled = mutable.Set[Int]()
+        if (quantOn && !v2BuildSmallEnough(op.build, buildPlan)) {
+          // over-cap build: deliver the key set QUANTIZED — runtime-fresh
+          // values through the same DynamicPruningSubquery channel as the
+          // under-cap path, but ~quantBuckets anchors instead of the raw
+          // distinct keys; the probe relation is marked with the grid
+          // width so its scan expands anchors back to ranges. This is the
+          // uncapped, staleness-free analog of the reference's runtime
+          // scan-filter build (physical_create_bf.cpp:282-350).
+          val unitPlan = graph.units(op.probe).plan
+          val v2Attrs = v2FilterableAttrs(unitPlan)
+          op.probeKeys.zip(op.buildKeys).zipWithIndex.foreach {
+            case ((pk: AttributeReference, bk: AttributeReference), i)
+                if v2Attrs.contains(pk.exprId) && pk.dataType == bk.dataType =>
+              graftRelationFor(unitPlan, pk.exprId).foreach { rel =>
+                quantWidthFor(op.build, bk, buildPlan).foreach { w0 =>
+                  val w = registerQuant(rel, pk.name, w0)
+                  quantExpr(bk, w).foreach { qe =>
+                    scanOnlyConds += DynamicPruningSubquery(pk,
+                      SqlBridge.planV2Scans(buildPlan), Seq(qe), Seq(0),
+                      onlyInBroadcast = false)
+                    quantHandled += i
+                  }
+                }
+              }
+            case _ => ()
+          }
+        }
         if (v2ScanFilter && !v2BuildSmallEnough(op.build, buildPlan) &&
             RptConf.rangeSummaryFallback(conf)) {
-          // over-cap build: the key set is too large to collect/ship, so
-          // approximate the reference's uncapped in-scan pushdown
+          // over-cap build not quant-handled (non-integral key, no usable
+          // footer stats, or a plain-parquet probe): approximate the
+          // reference's uncapped in-scan pushdown
           // (rpt_optimizer.cpp:1401-1501) with a LITERAL OR-of-ranges
           // summary of the build keys. Literals reach parquet row-group
           // zone maps through stock pushdown on ANY parquet probe, and
           // graft-parquet scans drop whole files from footer ranges.
-          op.buildKeys.zip(op.probeKeys).foreach { case (bk, pk) =>
+          op.buildKeys.zip(op.probeKeys).zipWithIndex
+              .filterNot { case (_, i) => quantHandled(i) }
+              .map(_._1).foreach { case (bk, pk) =>
             rangesFor(op.build, bk, op.forward, buildPlan) match {
               case Some(Seq()) =>
                 // empty build: always-false, same as the literal-bounds
@@ -651,6 +737,10 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           pendingConds.getOrElseUpdate(op.probe,
             mutable.ArrayBuffer[Expression]()) += cond
         }
+        if (scanOnlyConds.nonEmpty) {
+          pendingConds.getOrElseUpdate(op.probe,
+            mutable.ArrayBuffer[Expression]()) ++= scanOnlyConds
+        }
       }
     }
 
@@ -689,7 +779,26 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           conds.foldLeft(other)((acc, c) => Filter(c, acc))
       }
     }
-    splice(plan)
+    val spliced = splice(plan)
+    // mark each quant-probed relation with its grid width(s): the scan
+    // builder reads `graft.quant.<col>` from the relation's options
+    // (newScanBuilder(relation.options) — the per-plan metadata channel)
+    // and switches that column's runtime IN-set to range interpretation.
+    // Identity-keyed: only the exact probe instances the loop registered.
+    if (quantInjections.isEmpty) spliced
+    else spliced.transform {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if quantInjections.containsKey(r) =>
+        val merged = new java.util.HashMap[String, String](
+          r.options.asCaseSensitiveMap())
+        quantInjections.get(r).foreach { case (c, w) =>
+          merged.put(
+            org.apache.spark.sql.graft.sources.GraftParquetScan
+              .QuantOptionPrefix + c, w.toString)
+        }
+        r.copy(options =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged))
+    }
   }
 
   /** A unit plan counts as selectively filtered when it contains a Filter
@@ -772,6 +881,47 @@ object PredicateTransferRule {
     * a best-effort pairing, racy across concurrent sessions by design). */
   @volatile private[rpt] var lastSchedule
       : Option[(JoinGraph, Seq[ScheduledOp])] = None
+
+  /** Build key -> the key quantized to its grid anchor (same output
+    * type): floor-to-multiple-of-width in the internal integral domain,
+    * clamped so the cast back can never overflow. The COVERAGE invariant
+    * — for every non-null key k, k is inside [anchor(k), anchor(k)+w] —
+    * holds for ANY w >= 1 and any key value (QuantizedOverCapSuite pins
+    * it far outside the footer-derived grid), which is why a stale grid
+    * can only cost pruning resolution, never correctness: q = k -
+    * pmod(k, w) satisfies q <= k < q + w, and the typeMin clamp keeps
+    * the cast in range while preserving q > k - w. */
+  private[rpt] def quantExpr(bk: AttributeReference, w: Long)
+      : Option[Expression] = {
+    import org.apache.spark.sql.types._
+    val dt = bk.dataType
+    val toLong: Option[Expression] = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType =>
+        Some(Cast(bk, LongType))
+      case _: LongType => Some(bk)
+      case _: DateType => Some(Cast(UnixDate(bk), LongType))
+      case _: TimestampType => Some(UnixMicros(bk))
+      case _ => None
+    }
+    toLong.map { l =>
+      val q = Subtract(l, Pmod(l, Literal(w)))
+      val typeMin: Option[Long] = dt match {
+        case _: ByteType => Some(Byte.MinValue.toLong)
+        case _: ShortType => Some(Short.MinValue.toLong)
+        case _: IntegerType => Some(Int.MinValue.toLong)
+        case _: DateType => Some(Int.MinValue.toLong)
+        case _ => None // Long/Timestamp: the caller's footer-bound guard
+      }
+      val clamped =
+        typeMin.map(v => Greatest(Seq(q, Literal(v)))).getOrElse(q)
+      dt match {
+        case _: LongType => clamped
+        case _: DateType => DateFromUnixDate(Cast(clamped, IntegerType))
+        case _: TimestampType => MicrosToTimestamp(clamped)
+        case _ => Cast(clamped, dt)
+      }
+    }
+  }
 
   private val nestedDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0

@@ -224,6 +224,34 @@ object RptConf {
    *  file skipping returns; the bloom-filter probe still applies). */
   val V2_SCAN_FILTER_MAX_BUILD_ROWS = "spark.graft.rpt.v2ScanFilterMaxBuildRows"
 
+  /** Runtime in-scan transfer for builds OVER the in-scan cap — the
+   *  default over-cap path, closing the one structural gap vs the
+   *  reference's scan pushdown (its dynamic filters are built fresh at
+   *  runtime per execution and uncapped,
+   *  physical_create_bf.cpp:282-350, rpt_optimizer.cpp:1401-1501).
+   *  Instead of shipping the (too-large) key set, the rule splices a
+   *  [[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]]
+   *  whose build key is the join key QUANTIZED to a fixed grid — each
+   *  delivered value `v` stands for the key range `[v, v+w]` — and marks
+   *  the probe's `graft-parquet` relation with the grid width so its
+   *  scan interprets the delivered IN-set as ranges. The grid
+   *  (origin/width) comes from zero-execution parquet footer stats and
+   *  only sets RESOLUTION: quantization is total over the key domain, so
+   *  the delivered ranges cover every runtime build key exactly —
+   *  regardless of how stale the footer-derived grid is — and the value
+   *  count is bounded by `span/width` (~[[V2_QUANT_BUCKETS]]) no matter
+   *  how large the build. On by default: runtime-fresh, exact-superset
+   *  semantics, and it fires only when the probe leaf is a
+   *  `graft-parquet` relation with an integral/date/timestamp key whose
+   *  build leaf has usable footer stats. */
+  val V2_QUANTIZED_OVER_CAP = "spark.graft.rpt.v2QuantizedOverCap"
+  /** Target bucket count for the over-cap quantization grid (default
+   *  4096): width = max(1, ceil(footerSpan / buckets)). More buckets =
+   *  finer file/row-group pruning, a (slightly) larger delivered value
+   *  set; the delivered count is also bounded by the build's distinct
+   *  keys. */
+  val V2_QUANT_BUCKETS = "spark.graft.rpt.v2QuantBuckets"
+
   /** Coarse fallback for builds OVER the in-scan cap: instead of shipping
    *  the (too-large) key set, evaluate a compact key-range summary at
    *  planning time — up to [[RANGE_SUMMARY_BUCKETS]] merged `[lo, hi]`
@@ -327,6 +355,10 @@ object RptConf {
     conf.getConfString(V2_SCAN_FILTER, "true").toBoolean
   def v2ScanFilterMaxBuildRows(conf: SQLConf): Long =
     conf.getConfString(V2_SCAN_FILTER_MAX_BUILD_ROWS, "1048576").toLong
+  def v2QuantizedOverCap(conf: SQLConf): Boolean =
+    conf.getConfString(V2_QUANTIZED_OVER_CAP, "true").toBoolean
+  def v2QuantBuckets(conf: SQLConf): Int =
+    conf.getConfString(V2_QUANT_BUCKETS, "4096").toInt
   def rangeSummaryFallback(conf: SQLConf): Boolean =
     conf.getConfString(RANGE_SUMMARY_FALLBACK, "false").toBoolean
   def rangeSummaryBuckets(conf: SQLConf): Int =

@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
@@ -91,7 +92,8 @@ class GraftParquetScanBuilder(
     opts: CaseInsensitiveStringMap)
   extends ParquetScanBuilder(spark, index, tableSchema, parquetDataSchema, opts) {
 
-  override def build(): ParquetScan = new GraftParquetScan(super.build())
+  override def build(): ParquetScan =
+    new GraftParquetScan(super.build(), GraftParquetScan.quantWidths(opts))
 }
 
 /**
@@ -101,8 +103,21 @@ class GraftParquetScanBuilder(
  * instance across plan branches) conservatively DISABLES pruning rather
  * than over-prune either consumer — runtime filters only ever skip data
  * that cannot match, so "no pruning" is always correct.
+ *
+ * `quantWidths` (from `graft.quant.<col>=<width>` read options, injected
+ * by the RPT rule's over-cap in-scan path) switches a column's runtime
+ * IN-set interpretation from exact keys to QUANTIZED ANCHORS: each
+ * delivered value `v` stands for the key range `[v, v+width]` (internal
+ * integral domain). The build side quantizes its keys onto the same grid
+ * at execution, so the range union covers every runtime build key
+ * exactly — that makes the over-cap path runtime-fresh and uncapped
+ * (the reference's scan filters are likewise built fresh per execution,
+ * physical_create_bf.cpp:282-350). A width conservatively widens ANY
+ * predicate delivered on that column (an under-cap exact set widened by
+ * `width` is a superset — never over-prunes).
  */
-class GraftParquetScan(base: ParquetScan)
+class GraftParquetScan(base: ParquetScan,
+    val quantWidths: Map[String, Long] = Map.empty)
   extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
     base.dataSchema, base.readDataSchema, base.readPartitionSchema,
     base.pushedFilters, base.options, base.pushedAggregate,
@@ -111,6 +126,9 @@ class GraftParquetScan(base: ParquetScan)
 
   // (column name -> runtime key values, Catalyst-internal representation)
   @volatile private var runtimeKeys: Map[String, Array[Any]] = Map.empty
+  // (quantized column name -> sorted disjoint [lo, hi] key ranges, in the
+  // internal integral domain — days for dates, micros for timestamps)
+  @volatile private var runtimeRanges: Map[String, Array[(Long, Long)]] = Map.empty
   @volatile private var poisoned = false
   // visible for tests/metrics: files before/after the footer prune
   @volatile var lastFilePrune: Option[(Int, Int)] = None
@@ -128,6 +146,14 @@ class GraftParquetScan(base: ParquetScan)
       case f if atomic(f.dataType) => FieldReference.column(f.name)
     }
 
+  /** Quantization width for `col`, when one was declared AND the column's
+    * internal type is integral (the only types the rule quantizes; a
+    * width on any other type is ignored — exact-set semantics). */
+  private def quantWidthOf(col: String): Option[Long] =
+    quantWidths.get(col.toLowerCase(java.util.Locale.ROOT)).filter(_ >= 0)
+      .filter(_ => GraftParquetScan.toLongConv(readDataSchema(col).dataType)
+        .isDefined)
+
   override def filter(predicates: Array[V2Predicate]): Unit = {
     GraftParquetScan.filterCalls.incrementAndGet()
     val parsed = predicates.flatMap(parseEqualityPredicate)
@@ -136,14 +162,36 @@ class GraftParquetScan(base: ParquetScan)
     // the predicates array is a CONJUNCTION: several IN-sets on one column
     // (e.g. forward and backward transfer passes) intersect — an empty
     // intersection legitimately prunes the whole scan
-    val next = parsed.groupBy(_._1).map { case (c, vs) =>
-      c -> vs.map(_._2.toSet).reduce(_ intersect _).toArray
+    val byCol = parsed.groupBy(_._1)
+    val nextKeys = byCol.filter(c => quantWidthOf(c._1).isEmpty)
+      .map { case (c, vs) =>
+        c -> vs.map(_._2.toSet).reduce(_ intersect _).toArray
+      }
+    val nextRanges = byCol.flatMap { case (c, vs) =>
+      quantWidthOf(c).map { w =>
+        val toLong =
+          GraftParquetScan.toLongConv(readDataSchema(c).dataType).get
+        c -> vs.map { case (_, values) =>
+          GraftParquetScan.mergeRanges(values.map { v =>
+            val lo = toLong(v); (lo, GraftParquetScan.satAdd(lo, w))
+          })
+        }.reduce(GraftParquetScan.intersectRanges)
+      }
     }
     synchronized {
-      if (runtimeKeys.nonEmpty && runtimeKeys != next) poisoned = true
-      else runtimeKeys = next
+      if ((runtimeKeys.nonEmpty || runtimeRanges.nonEmpty) &&
+          (runtimeKeys != nextKeys || !rangesEq(runtimeRanges, nextRanges))) {
+        poisoned = true
+      } else {
+        runtimeKeys = nextKeys
+        runtimeRanges = nextRanges
+      }
     }
   }
+
+  private def rangesEq(a: Map[String, Array[(Long, Long)]],
+      b: Map[String, Array[(Long, Long)]]): Boolean =
+    a.keySet == b.keySet && a.forall { case (c, r) => r.sameElements(b(c)) }
 
   /** `IN(col, v...)` / `col = v` with literal values — the shapes the
     * engine produces from a planned runtime group filter. */
@@ -163,9 +211,12 @@ class GraftParquetScan(base: ParquetScan)
           // Drop null literals (a nullable build-side join key can emit
           // them): null never equi-matches, so removing them is exact —
           // and the comparators in fileMayContain / runtimeFilteredCopy
-          // are null-hostile. An all-null build set legitimately becomes
-          // the empty set, which prunes every file.
-          if (vals.nonEmpty && vals.forall(_.isDefined))
+          // are null-hostile. An all-null OR EMPTY build set legitimately
+          // becomes the empty set, which prunes every file (the delivered
+          // values are the build side's rows; zero rows means the
+          // equi-join can match nothing — the reference's empty-filter
+          // always-false, physical_create_bf.cpp:289-297).
+          if (vals.forall(_.isDefined))
             Some(c -> vals.flatten.filterNot(_ == null)) else None
         case _ => None
       }
@@ -177,9 +228,8 @@ class GraftParquetScan(base: ParquetScan)
     * dictionaries inside the reader. Pushed filter values use external
     * Scala types (String, not UTF8String). */
   private def runtimeFilteredCopy: ParquetScan = {
-    val keys = runtimeKeys
-    if (keys.isEmpty || poisoned) return this
-    val extra = keys.flatMap { case (c, vals) =>
+    if (poisoned) return this
+    val extraKeys = runtimeKeys.flatMap { case (c, vals) =>
       val dt = readDataSchema(c).dataType
       val conv = CatalystTypeConverters.createToScalaConverter(dt)
       val ext = vals.map(conv)
@@ -195,13 +245,40 @@ class GraftParquetScan(base: ParquetScan)
             sources.LessThanOrEqual(c, conv(vals.max(ord))))
           case _ => Seq.empty
         })
-    }.toArray
-    copy(pushedFilters = pushedFilters ++ extra)
+    }
+    // quantized columns: push the merged [lo, hi] runs as an OR-of-ranges
+    // (row-group zone maps evaluate each range cheaply); past the run cap
+    // collapse to the global envelope — still a valid superset filter.
+    // An empty range union (empty build) pushes nothing; the file-level
+    // prune already drops every file.
+    val extraRanges = runtimeRanges.flatMap { case (c, ranges) =>
+      val dt = readDataSchema(c).dataType
+      val conv = CatalystTypeConverters.createToScalaConverter(dt)
+      val fromLong = GraftParquetScan.fromLongConv(dt)
+      def rangeFilter(r: (Long, Long)): sources.Filter = sources.And(
+        sources.GreaterThanOrEqual(c, conv(fromLong(r._1))),
+        sources.LessThanOrEqual(c, conv(fromLong(r._2))))
+      if (ranges.isEmpty) Seq.empty
+      else if (ranges.length <= GraftParquetScan.MaxPushedRanges) {
+        Seq(ranges.map(rangeFilter).reduce[sources.Filter](sources.Or(_, _)))
+      } else Seq(rangeFilter((ranges.head._1, ranges.last._2)))
+    }
+    val extra = (extraKeys ++ extraRanges).toArray
+    if (extra.isEmpty) this else copy(pushedFilters = pushedFilters ++ extra)
   }
 
+  private def runtimeActive: Boolean =
+    (runtimeKeys.nonEmpty || runtimeRanges.nonEmpty) && !poisoned
+
   override def createReaderFactory(): PartitionReaderFactory =
-    if (runtimeKeys.isEmpty || poisoned) super.createReaderFactory()
-    else runtimeFilteredCopy.createReaderFactory()
+    if (!runtimeActive) super.createReaderFactory()
+    else runtimeFilteredCopy match {
+      // nothing pushable (e.g. an empty delivered set — the file-level
+      // prune already dropped every file): fall through to the stock
+      // factory; re-dispatching on `this` would recurse
+      case same if same eq this => super.createReaderFactory()
+      case filtered => filtered.createReaderFactory()
+    }
 
   /** File-level prune: drop files whose footer [min,max] on a filtered
     * column excludes every RUNTIME value — and, independently, files whose
@@ -215,16 +292,21 @@ class GraftParquetScan(base: ParquetScan)
   override protected def partitions: Seq[FilePartition] = {
     val base = super.partitions
     val keys = runtimeKeys
-    val runtimeOk = keys.nonEmpty && !poisoned
+    val ranges = runtimeRanges
+    val runtimeOk = runtimeActive
     val staticFilters = pushedFilters.filter(GraftParquetScan.prunable)
     if (!runtimeOk && staticFilters.isEmpty) return base
     val kept = base.flatMap { fp =>
       val files = fp.files.filter { f =>
-        (!runtimeOk || keys.forall { case (c, vals) =>
+        (!runtimeOk || (keys.forall { case (c, vals) =>
           GraftParquetScan.fileMayContain(
             hadoopConf, f.filePath.toPath, f.fileSize, c,
             readDataSchema(c).dataType, vals)
-        }) &&
+        } && ranges.forall { case (c, rs) =>
+          GraftParquetScan.fileMayIntersect(
+            hadoopConf, f.filePath.toPath, f.fileSize, c,
+            readDataSchema(c).dataType, rs)
+        })) &&
         staticFilters.forall(flt => GraftParquetScan.fileMayMatch(
           hadoopConf, f.filePath.toPath, f.fileSize, readDataSchema, flt))
       }
@@ -241,8 +323,9 @@ class GraftParquetScan(base: ParquetScan)
   override def description(): String = {
     val rf =
       if (poisoned) ", RuntimeFilters: [disabled: conflicting reuse]"
-      else if (runtimeKeys.isEmpty) ""
-      else runtimeKeys.map { case (c, v) => s"$c IN (${v.length} values)" }
+      else if (runtimeKeys.isEmpty && runtimeRanges.isEmpty) ""
+      else (runtimeKeys.map { case (c, v) => s"$c IN (${v.length} values)" } ++
+        runtimeRanges.map { case (c, r) => s"$c IN (${r.length} ranges)" })
         .mkString(", RuntimeFilters: [", ", ", "]")
     super.description() + rf
   }
@@ -251,7 +334,8 @@ class GraftParquetScan(base: ParquetScan)
   // runtime-filtered scan is not interchangeable with an unfiltered one)
   override def equals(obj: Any): Boolean = obj match {
     case g: GraftParquetScan =>
-      super.equals(g) && runtimeKeysEq(g) && poisoned == g.poisoned
+      super.equals(g) && runtimeKeysEq(g) && poisoned == g.poisoned &&
+        quantWidths == g.quantWidths && rangesEq(runtimeRanges, g.runtimeRanges)
     case _ => false
   }
   private def runtimeKeysEq(g: GraftParquetScan): Boolean =
@@ -278,6 +362,99 @@ object GraftParquetScan {
     new V2Predicate("IN",
       (FieldReference.column(col) +:
         values.map(v => LiteralValue(v, dt): org.apache.spark.sql.connector.expressions.Expression)).toArray)
+
+  /** Read-option prefix declaring a column's runtime IN-set as quantized
+    * anchors: `graft.quant.<col> = <width>` (internal integral units —
+    * days for dates, micros for timestamps). Injected per-plan by the RPT
+    * rule's over-cap in-scan path. */
+  val QuantOptionPrefix = "graft.quant."
+  /** Past this many merged runs, the pushed OR-of-ranges collapses to the
+    * global envelope (row-group evaluation of a huge OR tree costs more
+    * than it skips; the file-level prune still uses every run). */
+  val MaxPushedRanges = 64
+
+  private[sources] def quantWidths(opts: CaseInsensitiveStringMap)
+      : Map[String, Long] =
+    opts.asCaseSensitiveMap().asScala.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(QuantOptionPrefix) && Try(v.toLong).isSuccess =>
+        k.substring(QuantOptionPrefix.length)
+          .toLowerCase(java.util.Locale.ROOT) -> v.toLong
+    }.toMap
+
+  /** Catalyst-internal value -> Long for integral-backed types (the only
+    * types the rule quantizes). */
+  private[sources] def toLongConv(dt: DataType): Option[Any => Long] =
+    dt match {
+      case _: ByteType => Some(v => v.asInstanceOf[Byte].toLong)
+      case _: ShortType => Some(v => v.asInstanceOf[Short].toLong)
+      case _: IntegerType | _: DateType => Some(v => v.asInstanceOf[Int].toLong)
+      case _: LongType | _: TimestampType | _: TimestampNTZType =>
+        Some(v => v.asInstanceOf[Long])
+      case _ => None
+    }
+
+  private[sources] def fromLongConv(dt: DataType): Long => Any = dt match {
+    case _: ByteType => v => v.toByte
+    case _: ShortType => v => v.toShort
+    case _: IntegerType | _: DateType => v => v.toInt
+    case _ => v => v
+  }
+
+  private[sources] def satAdd(a: Long, b: Long): Long =
+    try math.addExact(a, b) catch { case _: ArithmeticException =>
+      if (a > 0) Long.MaxValue else Long.MinValue }
+
+  /** Merge [lo, hi] intervals into a sorted disjoint union (touching or
+    * overlapping runs coalesce). */
+  private[sources] def mergeRanges(rs: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    if (rs.isEmpty) return rs
+    val sorted = rs.sortBy(_._1)
+    val out = mutable.ArrayBuffer[(Long, Long)](sorted.head)
+    sorted.tail.foreach { case (lo, hi) =>
+      val (plo, phi) = out.last
+      if (lo <= satAdd(phi, 1L)) out(out.length - 1) = (plo, math.max(phi, hi))
+      else out += ((lo, hi))
+    }
+    out.toArray
+  }
+
+  /** Intersection of two sorted disjoint interval unions. */
+  private[sources] def intersectRanges(a: Array[(Long, Long)],
+      b: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val out = mutable.ArrayBuffer[(Long, Long)]()
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.toArray
+  }
+
+  /** Footer-stats containment for a quantized column: keep the file
+    * unless its [min,max] intersects NO delivered range. Unreadable
+    * stats keep the file. */
+  def fileMayIntersect(conf: org.apache.hadoop.conf.Configuration,
+      path: Path, len: Long, col: String, dt: DataType,
+      ranges: Array[(Long, Long)]): Boolean =
+    toLongConv(dt) match {
+      case Some(toLong) => fileRange(conf, path, len, col, dt) match {
+        case Some((lo, hi)) =>
+          val (flo, fhi) = (toLong(lo), toLong(hi))
+          // binary search the first range ending at/after the file's lo
+          var l = 0; var r = ranges.length
+          while (l < r) {
+            val m = (l + r) >>> 1
+            if (ranges(m)._2 < flo) l = m + 1 else r = m
+          }
+          l < ranges.length && ranges(l)._1 <= fhi
+        case None => true
+      }
+      case None => true
+    }
 
   private val MaxPruneFiles = 1 << 20 // beyond this, skip the footer pass
   // (path, length, column) -> per-file [min, max] from row-group footers;
@@ -413,4 +590,22 @@ object GraftParquetScan {
         .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])))
     case _ => None
   }
+}
+
+/** File listing of a v2 parquet-backed relation — bridge for `graft.rpt`
+  * (the file-table scaffold is `private[sql]`). Used by the rule's
+  * zero-execution footer-stats path when a transfer build side reads
+  * through a v2 source. */
+object V2RelationFiles {
+  def parquetFiles(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]] =
+    plan match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: ParquetTable =>
+            Try(t.fileIndex.listFiles(Nil, Nil).flatMap(_.files).toSeq).toOption
+          case _ => None
+        }
+      case _ => None
+    }
 }

@@ -352,6 +352,9 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1",
                 RptConf.RANGE_SUMMARY_FALLBACK -> "true")
               case 1 => Seq(RptConf.PROBE_FEEDBACK -> "true")
+              case 2 => Seq( // quantized over-cap alone (default-on path):
+                // every build over the cap, anchors through the DPS channel
+                RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1")
               case _ => Seq.empty
             }
             try {
@@ -377,7 +380,15 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                   s"seed=$seed $heur/$pass gates=$gates changed results ($on vs $off) for:\n${gen0.desc}")
               }
             } catch {
-              case e: Throwable => failures.add(
+              case e: Throwable =>
+                if (sys.env.contains("GRAFT_FUZZ_TRACE")) {
+                  var t: Throwable = e
+                  while (t.getCause != null && t.getCause != t) t = t.getCause
+                  System.err.println(s"TRACE seed=$seed deepest=$t")
+                  t.getStackTrace.take(35)
+                    .foreach(x => System.err.println("    " + x))
+                }
+                failures.add(
                 s"seed=$seed gates=$gates threw ${e.getClass.getSimpleName}: ${e.getMessage}")
             } finally {
               gates.foreach { case (k, _) => s.conf.unset(k) }

@@ -257,9 +257,18 @@ class GraftParquetSourceSuite extends SparkTestBase {
           case p => p.expressions.flatMap(_.collect {
             case d: DynamicPruningSubquery if !d.onlyInBroadcast => d })
         }.flatten.size
-      // without a filtered estimate the raw card gates the splice off
-      assert(dppCount(run()) === 0,
-        "raw card 3 > cap 2 must gate the in-scan transfer off")
+      // without a filtered estimate the raw card gates the EXACT key-set
+      // splice off; since r12 the default-on quantized over-cap path
+      // delivers anchors instead (QuantizedOverCapSuite) — stand that
+      // down too to isolate the gate under test
+      withConf(graft.rpt.RptConf.V2_QUANTIZED_OVER_CAP -> "false") {
+        assert(dppCount(run()) === 0,
+          "raw card 3 > cap 2 must gate the exact in-scan transfer off")
+      }
+      // with the quantized path at its default the over-cap build still
+      // reaches the scan — as grid anchors through the same channel
+      assert(dppCount(run()) > 0,
+        "the default-on quantized path must cover the over-cap build")
       // runtimeSizedBuilds provides the measured filtered count (2 <= 2)
       withConf("spark.graft.rpt.runtimeSizedBuilds" -> "true") {
         assert(dppCount(run()) > 0,

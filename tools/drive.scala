@@ -244,6 +244,30 @@ check(sessStd.nonEmpty, "sessionize drained no sessions")
 check(sessStd == sessLite, "sessionizeLite diverged from sessionize")
 check(sessStd == sessNative, "sessionizeNative diverged from sessionize")
 
-val driveExpected = 33
+// --- round 12: quantized over-cap in-scan transfer (default-on) ---
+// same clustered fixture, cap -1 forces every build over the cap, literal
+// fallback OFF: the rule must deliver RUNTIME grid anchors through the
+// DPS channel (scan's filter() called, files pruned) with results equal
+// to rule-off — the uncapped, staleness-free over-cap path
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "-1")
+org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal = None
+val qcalls0 = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get
+val qOn = rsRun()
+val qPrune = org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal
+val qCalled = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get > qcalls0
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val qOff = rsRun()
+spark.conf.set("spark.graft.rpt.enabled", "true")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1048576")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+println(s"[drive] quantOverCap rows=${qOn.size} prune=$qPrune filterCalled=$qCalled resultsEqual=${qOn == qOff}")
+check(qOn == qOff, "quantized over-cap changed results")
+check(qCalled, "quantized over-cap: runtime anchors never reached filter()")
+check(qPrune.exists { case (b, a) => a < b }, "quantized over-cap never pruned a file")
+
+val driveExpected = 36
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
