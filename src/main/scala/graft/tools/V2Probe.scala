@@ -131,6 +131,21 @@ object V2Probe {
       val bytesRs = GraftParquetScan.lastBytePruneGlobal
         .map { case (b, a) => s""","rs_bytes_before":$b,"rs_bytes_after":$a""" }
         .getOrElse("")
+      // v2 source + OVER-CAP build with the DEFAULT-ON quantized path
+      // (literal fallback off): runtime grid anchors through the DPS
+      // channel — the byte-prune parity vs the exact key set is the
+      // measurement that justified flipping the over-cap default on
+      spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
+      GraftParquetScan.lastFilePruneGlobal = None
+      GraftParquetScan.lastBytePruneGlobal = None
+      results("v2_quantized") = timedMin(
+        chain("graft-parquet", dimFilter).collect().map(_.getLong(1)).sum)
+      val pruneQ = GraftParquetScan.lastFilePruneGlobal
+        .map { case (b, a) => s""""q_files_before":$b,"q_files_after":$a""" }
+        .getOrElse(""""q_files_before":null,"q_files_after":null""")
+      val bytesQ = GraftParquetScan.lastBytePruneGlobal
+        .map { case (b, a) => s""","q_bytes_before":$b,"q_bytes_after":$a""" }
+        .getOrElse("")
       spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", savedCap)
       savedRs match {
         case Some(v) => spark.conf.set("spark.graft.rpt.rangeSummaryFallback", v)
@@ -140,7 +155,7 @@ object V2Probe {
       val rows = results.values.map(_._1).toSet
       require(rows.size == 1, s"$regime: configs disagree: $results")
       if (ri > 0) out.append(",")
-      out.append(s""""$regime":{"rows":${rows.head},$prune$bytes,$pruneRs$bytesRs,""")
+      out.append(s""""$regime":{"rows":${rows.head},$prune$bytes,$pruneRs$bytesRs,$pruneQ$bytesQ,""")
       out.append(results.map { case (k, (_, s)) =>
         s""""$k":${math.round(s * 1000) / 1000.0}""" }.mkString(","))
       out.append(s""","speedup_vs_stock":${
