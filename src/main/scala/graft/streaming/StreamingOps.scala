@@ -118,7 +118,13 @@ object StreamingOps {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // min(start, t): a cross-batch event earlier than the
+                  // session start (but within the gap) widens the start,
+                  // matching the batch oracle and the native
+                  // session_window merge (in-order arrival makes this a
+                  // no-op: t >= last >= start)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(userId, microsTs(s.start),
                     microsTs(s.last), s.n)
@@ -184,7 +190,8 @@ object StreamingOps {
             sorted.foreach { t =>
               cur match {
                 case Some((start, last, n)) if t - last <= gapUs =>
-                  cur = Some((start, math.max(last, t), n + 1))
+                  // same out-of-order start widening as sessionize
+                  cur = Some((math.min(start, t), math.max(last, t), n + 1))
                 case Some((start, last, n)) =>
                   closed ::= Session(userId, microsTs(start),
                     microsTs(last), n)
@@ -216,10 +223,19 @@ object StreamingOps {
    *  splits). The emitted `session_end` subtracts the gap off
    *  `window.end` (= last event + gap), recovering the last event time
    *  exactly in integer microsecond arithmetic. Output is bit-identical
-   *  to [[sessionize]]/[[sessionizeLite]] for any arrival pattern within
-   *  the watermark (StreamingOpsSuite + the v09 oracle gate). The one
-   *  boundary divergence is rows arriving LATER than the watermark
-   *  allows — discarded data by contract in both forms, but at slightly
+   *  to [[sessionize]]/[[sessionizeLite]] whenever each user's events
+   *  never regress across batches by more than the gap (any order WITHIN
+   *  a batch is fine — the closure forms sort, the aggregation is
+   *  order-free; a within-gap cross-batch regression widens the session
+   *  start identically in all three forms). Past that envelope the forms
+   *  legitimately diverge: the merging session store can hold several
+   *  open sessions per user and fuse them through a late middle event,
+   *  while the closure forms carry exactly one open session and fold a
+   *  >gap-early event into it — single-session state cannot represent
+   *  the split (StreamingOpsSuite pins the in-envelope identity; the
+   *  gates feed range-ordered files, inside the envelope by
+   *  construction). Another boundary divergence is rows arriving LATER
+   *  than the watermark allows — discarded data by contract in both forms, but at slightly
    *  different cutoffs: flatMapGroupsWithState drops rows with
    *  `ts < watermark`, while the aggregation drops sessions whose window
    *  end has passed, i.e. `ts + gap < watermark` — this form salvages up

@@ -703,11 +703,13 @@ class StreamingOpsSuite extends SparkTestBase {
   }
 
   test("sessionizeNative merges an EXACT-gap arrival like the closure forms") {
-    // the built-in session_window merges on ts < last + gap (strict);
-    // sessionize and the batch oracle merge on diff <= gap. The 1-us gap
-    // widening must make a diff of EXACTLY gapSeconds merge, and a diff
-    // of gap + 1us split — pinned here because no fixture row is
-    // guaranteed to land exactly on the boundary
+    // the built-in session_window merges on OVERLAP OR ADJACENCY
+    // (currentEnd >= nextStart, window end = ts + gap), so an event at
+    // exactly last + gap joins the session — the same inclusive
+    // diff <= gap boundary as sessionize and the batch oracle, with the
+    // gap passed through UNMODIFIED. Pinned here because no fixture row
+    // is guaranteed to land exactly on the boundary: exactly-gap must
+    // merge, gap + 1us must split, in both forms
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // exact-gap chain: 0, +1800s (exactly gap: MUST merge), then
@@ -739,5 +741,46 @@ class StreamingOpsSuite extends SparkTestBase {
     assert(std.exists(_._4 == 2L),
       s"closure form must merge the exact-gap arrival: $std")
     assert(nat === std, s"native boundary diverged: std=$std nat=$nat")
+  }
+
+  test("cross-batch within-gap regression widens the start in all forms") {
+    // an event from a LATER batch that is EARLIER than the open session's
+    // start, still inside the gap and the watermark: the native
+    // aggregation widens window.start; the closure forms must take
+    // min(start, t) so the three stay bit-identical in this envelope
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L // us
+    def ev(id: Long, us: Long) = { val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      Event(id, t, 7L, "click", 0.0) }
+    def run(mk: org.apache.spark.sql.Dataset[Event] =>
+        org.apache.spark.sql.Dataset[Session], sink: String)
+        : Set[(Long, Long, Long, Long)] = {
+      val ms = MemoryStream[Event]
+      val q = mk(ms.toDS()).writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        ms.addData(ev(1, base), ev(2, base + 60L * 1000000))
+        q.processAllAvailable()
+        // 10 min BEFORE the session start, within the 30-min gap and the
+        // 30-min watermark (watermark = base+60s - 30min < base-10min)
+        ms.addData(ev(3, base - 600L * 1000000))
+        q.processAllAvailable()
+        ms.addData(ev(99, base + 100L * 3600 * 1000000)) // close sentinel
+        q.processAllAvailable()
+        spark.table(sink).as[Session].collect().toSet.map(
+          (s: Session) => (s.user_id, s.session_start.getTime,
+            s.session_end.getTime, s.n_events))
+      } finally { q.stop(); spark.catalog.dropTempView(sink) }
+    }
+    val std = run(StreamingOps.sessionize(_), "oo_std")
+    val lite = run(StreamingOps.sessionizeLite(_), "oo_lite")
+    val nat = run(StreamingOps.sessionizeNative(_), "oo_nat")
+    val expectStart = (base - 600L * 1000000) / 1000
+    assert(std.exists(s => s._2 == expectStart && s._4 == 3L),
+      s"closure form must widen the start to the late-early event: $std")
+    assert(lite === std, s"lite diverged: $lite vs $std")
+    assert(nat === std, s"native diverged: $nat vs $std")
   }
 }
