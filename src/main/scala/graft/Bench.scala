@@ -42,32 +42,93 @@ object Bench {
         _.info().command().map[Boolean](_.contains("java")).orElse(false))
     } catch { case _: Exception => -1 }
 
-  /** Per-query pins: the MIN across every prior `BENCH_r*.json` in `dir`
-    * whose recorded sf matches this run's fixture. Driver artifacts embed
-    * the bench stdout line escaped inside a "tail" string, so strip
-    * backslash-escapes before matching. Keys in those artifacts are the
-    * short registry ids. Absent/unparseable artifacts just mean no pin. */
-  private[graft] def priorPins(dir: String, sfDir: String): Map[String, Double] = {
+  /** Cross-round pin data: per-query minima plus the FASTEST recorded
+    * calibration probes (the "clean box" baseline the current probes are
+    * normalized against). */
+  private[graft] case class PinData(
+      queries: Map[String, Double],
+      calCpu: Option[Double],
+      calIo: Option[Double]) {
+    def isEmpty: Boolean = queries.isEmpty
+  }
+
+  /** Pins from every prior `BENCH_r*.json` (and a local `bench_out.json`)
+    * in `dir` whose recorded sf matches this run's fixture. Preferred
+    * path: STRUCTURED parse — driver artifacts embed a `parsed` object,
+    * and the bench itself writes `bench_out.json` — with the legacy
+    * escaped-"tail" regex scrape as fallback. The sf match is
+    * boundary-anchored (`/sf1"` never matches an sf10 path — a bare
+    * substring check once let cross-sf artifacts mis-calibrate the
+    * outlier guard). Keys are the short registry ids. Absent or
+    * unparseable artifacts just mean no pin. */
+  private[graft] def priorPins(dir: String, sfDir: String): PinData = {
     val sfName = new java.io.File(sfDir.replaceAll("/+$", "")).getName // sf0.1
+    val sfNum = sfName.stripPrefix("sf")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
+        f.getName == "bench_out.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def sfMatchesText(path: String): Boolean = {
+      val norm = path.replaceAll("/+$", "")
+      norm == sfName || norm.endsWith("/" + sfName)
+    }
+
+    // (queries, calCpu, calIo) of one artifact, structured path
+    def structured(f: java.io.File)
+        : Option[(Seq[(String, Double)], Option[Double], Option[Double])] =
+      try {
+        val root = om.readTree(f)
+        val node = if (root.has("parsed")) root.get("parsed") else root
+        if (!node.has("queries")) return None
+        val sfOk =
+          (node.path("sf").isTextual && sfMatchesText(node.get("sf").asText)) ||
+          (root.path("sf").isNumber &&
+            scala.util.Try(sfNum.toDouble).toOption
+              .contains(root.get("sf").asDouble))
+        if (!sfOk) return Some((Seq.empty, None, None))
+        val qs = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        node.get("queries").properties().forEach { e =>
+          if (e.getValue.isNumber && e.getValue.asDouble >= 0) {
+            qs += e.getKey -> e.getValue.asDouble
+          }
+        }
+        def cal(k: String): Option[Double] =
+          Option(node.get(k)).filter(_.isNumber).map(_.asDouble).filter(_ > 0)
+        Some((qs.toSeq, cal("cal_cpu_ms"), cal("cal_io_ms")))
+      } catch { case _: Exception => None }
+
+    // legacy fallback: regex over the artifact with escapes stripped
     val qmap = """"queries":\{([^}]*)\}""".r
     val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
-    files.flatMap { f =>
+    def calRe(k: String) = ("\"" + k + "\":(\\d+(?:\\.\\d+)?)").r
+    def scraped(f: java.io.File)
+        : (Seq[(String, Double)], Option[Double], Option[Double]) =
       try {
         val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
-        // sf match: the embedded line carries the fixture path; the driver
-        // wrapper carries a bare "sf": 0.1 — accept either spelling
-        val sfOk = raw.contains(sfName) ||
-          raw.contains("\"sf\": " + sfName.stripPrefix("sf")) ||
-          raw.contains("\"sf\":" + sfName.stripPrefix("sf"))
-        if (!sfOk) Seq.empty
-        else qmap.findFirstMatchIn(raw).toSeq.flatMap(m =>
-          pair.findAllMatchIn(m.group(1)).map(p =>
-            p.group(1) -> p.group(2).toDouble).filter(_._2 >= 0))
-      } catch { case _: Exception => Seq.empty }
-    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        val sfOk = (java.util.regex.Pattern.quote("/" + sfName) +
+            "[\"\\\\/]").r.findFirstIn(raw).isDefined ||
+          ("\"sf\":\\s*" + java.util.regex.Pattern.quote(sfNum) +
+            "[,}\\s]").r.findFirstIn(raw).isDefined
+        if (!sfOk) (Seq.empty, None, None)
+        else {
+          val qs = qmap.findFirstMatchIn(raw).toSeq.flatMap(m =>
+            pair.findAllMatchIn(m.group(1)).map(p =>
+              p.group(1) -> p.group(2).toDouble).filter(_._2 >= 0))
+          def cal(k: String): Option[Double] =
+            calRe(k).findFirstMatchIn(raw).map(_.group(1).toDouble)
+              .filter(_ > 0)
+          (qs, cal("cal_cpu_ms"), cal("cal_io_ms"))
+        }
+      } catch { case _: Exception => (Seq.empty, None, None) }
+
+    val perFile = files.toSeq.map(f => structured(f).getOrElse(scraped(f)))
+    PinData(
+      perFile.flatMap(_._1).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min },
+      Some(perFile.flatMap(_._2)).filter(_.nonEmpty).map(_.min),
+      Some(perFile.flatMap(_._3)).filter(_.nonEmpty).map(_.min))
   }
 
   /** Deterministic single-thread CPU calibration: fixed-count xorshift64
@@ -121,17 +182,20 @@ object Bench {
     } catch { case _: Exception => -1.0 }
   }
 
-  /** Poll until 1-min load drops under `cores/2` or the budget runs out;
-    * returns whether quiet was reached. Our own just-idled JVM contributes
-    * decaying load, hence the generous threshold. */
+  /** Poll until 1-min load drops under `cores/8` or the budget runs out;
+    * returns whether quiet was reached. cores/2 (the r11 threshold) let
+    * reruns start on a half-loaded box — 7 futile reruns in one
+    * artifact; cores/8 (4 on the bench box) is below any co-tenant worth
+    * waiting out while still above our own just-idled JVM's decaying
+    * load. */
   private def awaitQuiet(cores: Int, budgetMs: Long): Boolean = {
     val deadline = System.nanoTime() + budgetMs * 1000000L
     var l = load1
-    while (l >= 0 && l > cores / 2.0 && System.nanoTime() < deadline) {
+    while (l >= 0 && l > cores / 8.0 && System.nanoTime() < deadline) {
       Thread.sleep(3000)
       l = load1
     }
-    l >= 0 && l <= cores / 2.0
+    l >= 0 && l <= cores / 8.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,11 +209,21 @@ object Bench {
     val loadBefore = load1
     val jvmsBefore = jvmCount
     val cores = Runtime.getRuntime.availableProcessors()
-    val pins = priorPins(".", sfDir)
+    val pinData = priorPins(".", sfDir)
+    val pins = pinData.queries
     // box-speed calibration before Spark spins up (idle machine, cold JVM):
     // cross-session ratios of these normalize cross-day totals
     val calCpu = cpuCalMs()
     val calIo = ioCalMs()
+    // how much slower this box is than the fastest pinned session, per
+    // probe: the rerun threshold scales by the worse of the two (clamped
+    // to 4x) so a quiet-but-slow day no longer burns futile reruns and a
+    // misleading contended flag (r11: a 2.7x slower disk did exactly that)
+    val cpuRatio = pinData.calCpu.map(calCpu / _).getOrElse(1.0)
+    val ioRatio = pinData.calIo.filter(_ => calIo > 0).map(calIo / _)
+      .getOrElse(1.0)
+    val calRatio =
+      math.max(1.0, math.min(4.0, math.max(cpuRatio, ioRatio)))
     val spark = GraftSession.build(appName = "graft-bench")
     // warm the JVM/session on the smallest fixture so per-query numbers
     // measure the queries, not first-use initialization
@@ -175,12 +249,13 @@ object Bench {
       val times = (1 to runs).flatMap(_ => timeOnce(name, fn))
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    // integrity pass: re-measure pinned outliers (>2x the cross-round pin,
-    // with a 0.25s absolute floor so micro-query noise never triggers it)
-    // after waiting for the box to go quiet
+    // integrity pass: re-measure pinned outliers (>2x the CALIBRATION-
+    // NORMALIZED cross-round pin, with a 0.25s absolute floor so
+    // micro-query noise never triggers it) after waiting for the box to
+    // go quiet
     def inflated(name: String, t: Double): Boolean =
       pins.get(name.split('_').head).exists(pin =>
-        t >= 0 && pin > 0 && t > 2 * pin && t - pin > 0.25)
+        t >= 0 && pin > 0 && t > 2 * calRatio * pin && t - pin > 0.25)
     val outliers = results.filter { case (n, t) => inflated(n, t) }.map(_._1)
     var rerun = 0
     if (outliers.nonEmpty) {
@@ -197,8 +272,13 @@ object Bench {
         }
       }
     }
-    val contended = results.exists { case (n, t) => inflated(n, t) } ||
-      loadBefore > cores
+    // contention verdict WITH recorded cause: which signal tripped
+    val causes = scala.collection.mutable.ArrayBuffer[String]()
+    if (loadBefore > cores) causes += "load"
+    if (cpuRatio > 1.5) causes += "slow_cpu"
+    if (ioRatio > 1.5) causes += "slow_io"
+    if (results.exists { case (n, t) => inflated(n, t) }) causes += "inflated"
+    val contended = causes.contains("inflated") || causes.contains("load")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = load1
@@ -206,7 +286,8 @@ object Bench {
     val guard = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
       s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
       s""""reruns":$rerun,"contended":$contended,""" +
-      f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f"""
+      f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
+      f""""cal_ratio":$calRatio%.2f,"cause":"${causes.mkString("|")}""""
     def jsonLine(keyed: Seq[(String, Double)]): String = {
       val qs = keyed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
@@ -226,6 +307,10 @@ object Bench {
     val shortKeyed = results.map { case (k, v) => k.split('_').head -> v }
     require(shortKeyed.map(_._1).distinct.size == shortKeyed.size,
       "short registry ids must stay unique for the bench stdout line")
+    // structured copy in cwd: future pin readers (and humans) get real
+    // JSON instead of scraping the harness tail buffer
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      jsonLine(shortKeyed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val line = jsonLine(shortKeyed)
     require(line.length <= 1800,
       s"bench stdout line ${line.length} chars would overflow the harness tail buffer")

@@ -61,7 +61,7 @@ private[graft] object ProbeFeedback {
       System.nanoTime() - at < TTL_NANOS && keep >= keepThreshold
     }
 
-  private[rpt] def size: Int = cache.size
+  private[graft] def size: Int = cache.size
   private[graft] def clear(): Unit = cache.clear()
   private[rpt] def snapshot: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
