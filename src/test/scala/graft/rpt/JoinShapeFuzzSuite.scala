@@ -128,7 +128,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
   private case class Alias(id: Int, table: String, cols: Set[String],
       attachable: Boolean)
 
-  private case class Generated(df: DataFrame, desc: String, nTables: Int)
+  private case class Generated(df: DataFrame, desc: String, nTables: Int,
+      nCycles: Int)
 
   /** Pure function of `(seed, tbls, tblsV2)` — replays exactly. Must be
     * re-invoked per conf variant: a Dataset caches its QueryExecution, so
@@ -194,6 +195,7 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     var aliases = Vector(Alias(0, t0, cols0, attachable = true))
     var nextId = 1
     var est: Double = 6000.0
+    var nCycles = 0
 
     // mid-tree barrier: grouped-aggregate the ACCUMULATED join so the
     // schedule sees joins both below and above a barrier; also the fallback
@@ -241,7 +243,23 @@ class JoinShapeFuzzSuite extends SparkTestBase {
         val (pa, e) = pick(candidates)
         val id = nextId; nextId += 1
         val (unit, ucols, sel, ud) = buildUnit(id, e.ct, e.cc)
-        val jt = rnd.nextInt(10) match {
+        // ~1 in 6 attaches: CYCLE attach — the new alias joins on TWO
+        // existing aliases at once (a second equi pair to a different
+        // parent in one join condition). The join graph then has a
+        // multi-parent node closing a loop through the tree, so the MST
+        // heuristic must drop an edge and joinOrder exercises its
+        // multi-parent DAG / cycle fallback — previously covered only by
+        // the fixed diamond test (every generated graph was a tree by
+        // construction). The second edge's child column must survive the
+        // unit (a barrier unit keeps only the primary join column).
+        val second: Option[(Alias, Edge)] =
+          if (rnd.nextInt(6) != 0) None
+          else {
+            val alts = candidates.filter { case (a2, e2) =>
+              e2.ct == e.ct && a2.id != pa.id && ucols.contains(e2.cc) }
+            if (alts.isEmpty) None else Some(pick(alts))
+          }
+        val jt = if (second.isDefined) "inner" else rnd.nextInt(10) match {
           case 0 => "left_outer"
           case 1 => "left_semi"
           case 2 => "left_anti"
@@ -251,12 +269,17 @@ class JoinShapeFuzzSuite extends SparkTestBase {
         // sides (match structure identical to the bare-attribute edge, so
         // no fan-out change) — fuzzes the rule's key extraction on
         // non-attribute expressions (all edge keys are numeric)
-        val (cond, keyTag) = rnd.nextInt(7) match {
+        val (cond0, keyTag) = rnd.nextInt(7) match {
           case 0 =>
             ((col(s"a${pa.id}_${e.pc}") + lit(1)) ===
               (col(s"a${id}_${e.cc}") + lit(1)), "+1")
           case _ =>
             (col(s"a${pa.id}_${e.pc}") === col(s"a${id}_${e.cc}"), "")
+        }
+        val cond = second match {
+          case Some((pa2, e2)) =>
+            cond0 && (col(s"a${pa2.id}_${e2.pc}") === col(s"a${id}_${e2.cc}"))
+          case None => cond0
         }
         acc = acc.join(unit, cond, jt)
         val keepsCols = jt == "inner" || jt == "left_outer"
@@ -264,12 +287,16 @@ class JoinShapeFuzzSuite extends SparkTestBase {
           attachable = keepsCols)
         if (keepsCols) est = math.max(1.0, est * e.fanout * sel)
         desc ++= s" a$id=${e.ct}[$ud] $jt a${pa.id}.${e.pc}=${e.cc}$keyTag"
+        second.foreach { case (pa2, e2) =>
+          nCycles += 1
+          desc ++= s" CYCLE(a${pa2.id}.${e2.pc}=${e2.cc})"
+        }
         if (aliases.size >= 3 && aliases.size < nTarget && rnd.nextInt(8) == 0)
           collapse()
       }
     }
 
-    Generated(acc, desc.toString, aliases.size)
+    Generated(acc, desc.toString, aliases.size, nCycles)
   }
 
   /** Order-insensitive fingerprint: row count + sum of row hashes. The
@@ -327,6 +354,7 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
     val tablesTotal = new java.util.concurrent.atomic.AtomicInteger(0)
     val tablesMin = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+    val cyclesTotal = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -362,6 +390,7 @@ class JoinShapeFuzzSuite extends SparkTestBase {
               val gen0 = generate(seed.toLong, tbls, tblsV2)
               tablesTotal.addAndGet(gen0.nTables)
               tablesMin.getAndUpdate(m => math.min(m, gen0.nTables))
+              cyclesTotal.addAndGet(gen0.nCycles)
               s.conf.set(RptConf.ENABLED, "false")
               val off = fp(gen0.df)
               val cs = combosFor(seed)
@@ -403,7 +432,12 @@ class JoinShapeFuzzSuite extends SparkTestBase {
       scala.jdk.CollectionConverters.CollectionHasAsScala(failures).asScala
         .take(5).mkString("\n---\n"))
     info(f"$nPlans plans, ${tablesTotal.get.toDouble / nPlans}%.1f avg tables " +
-      s"(min ${tablesMin.get}), ${rewritten.get} rewritten (first combo per seed)")
+      s"(min ${tablesMin.get}), ${cyclesTotal.get} cyclic attaches, " +
+      s"${rewritten.get} rewritten (first combo per seed)")
+    // the generator must actually produce cyclic join graphs (multi-parent
+    // attaches) at sweep scale, not only trees
+    if (nPlans >= 100) assert(cyclesTotal.get > 0,
+      "no cyclic join graphs generated across the sweep")
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite
     assert(tablesMin.get >= 5,
