@@ -81,7 +81,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // queries showed with zero injected probes)
     if (RptConf.skipBroadcastableBuilds(conf) &&
         conf.autoBroadcastJoinThreshold > 0 &&
-        graph.edges.size < RptConf.deepPlanEdges(conf)) {
+        graph.edges.size < RptConf.deepPlanEdges(conf) &&
+        // a unit big enough for the probe-volume bypass means some op may
+        // transfer regardless of join strategy — don't bail wholesale
+        // (the bypass also needs the half-depth floor, see the op gate)
+        (graph.edges.size < RptConf.deepPlanEdges(conf) / 2 ||
+          graph.units.forall(_.card < RptConf.deepPlanProbeRows(conf)))) {
       val ceiling = (BigDecimal(conf.autoBroadcastJoinThreshold) *
         RptConf.broadcastConversionMargin(conf)).toBigInt
       val allConvert = graph.edges.forall { e =>
@@ -358,6 +363,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // protects those. Deep plans therefore skip the broadcast gate
     // altogether; shallow plans keep the margin-widened compare.
     val deepPlan = graph.edges.size >= RptConf.deepPlanEdges(conf)
+    val deepProbeRows = RptConf.deepPlanProbeRows(conf).toDouble
     val bcMargin = RptConf.broadcastConversionMargin(conf)
     val v2ScanFilter = RptConf.v2ScanFilter(conf)
     val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
@@ -539,7 +545,17 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         (buildProbeRatio > 0 &&
           graph.units(op.build).card * buildProbeRatio >
             graph.units(op.probe).card) ||
-        (skipBroadcastable && !deepPlan && bcThreshold > 0 && {
+        (skipBroadcastable && !deepPlan && bcThreshold > 0 &&
+          // probe-volume bypass (RPTBENCH_r12 ladder): a large probe
+          // amortizes the subquery overhead even under broadcast joins —
+          // the reduction is consumed by every downstream operator the
+          // surviving rows flow through, broadcast or not. The half-depth
+          // floor keeps 2-edge scan-bound shapes gated: with ≤2 joins
+          // there is not enough downstream work for the cut to pay at any
+          // scale measured (star_part 0.66×/0.73× at sf1/sf10, vs the
+          // 4-edge chain's 1.14× and q06's sf10 1.83×).
+          !(graph.units(op.probe).card >= deepProbeRows &&
+            graph.edges.size >= RptConf.deepPlanEdges(conf) / 2) && {
           // skip when the build–probe JOIN will run as a broadcast join —
           // whichever input is smaller gets broadcast, and AQE converts
           // using runtime (filtered, shuffle-compressed) sizes that the

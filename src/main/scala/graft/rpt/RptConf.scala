@@ -99,6 +99,23 @@ object RptConf {
    *  below this edge count. (Until round 11 this only dropped the margin
    *  to 1.0, which still stood down every under-threshold build.) */
   val DEEP_PLAN_EDGES = "spark.graft.rpt.deepPlanEdges"
+  /** Probe-volume bypass of the broadcast-skip gate, complementing
+   *  [[DEEP_PLAN_EDGES]]: an op whose PROBE unit is at least this many
+   *  estimated rows transfers even when its join would broadcast. The
+   *  round-12 edge-count ladder (RPTBENCH_r12) showed depth is only a
+   *  shape proxy — the same 4–12-edge chains lose 2–18% with probes on a
+   *  600k-row fact (sf0.1) and win 1.3–1.7× at EVERY depth on a 6M-row
+   *  fact (sf1): the deciding variable is whether per-row savings on the
+   *  probe side amortize the fixed subquery overhead, which is probe
+   *  volume, not edges. The bypass additionally requires at least
+   *  [[DEEP_PLAN_EDGES]]/2 edges: 2-edge scan-bound shapes have too
+   *  little downstream work for the cut to pay at any measured scale
+   *  (star_part 0.66x/0.73x at sf1/sf10), while 4+-edge chains win
+   *  1.1-1.8x. Default 4M rows sits between the measured regimes
+   *  (600k-row probes lose, 6M-row probes win); at 100 TB every fact
+   *  probe clears it (matching the reference, whose transfers don't
+   *  consult join strategy at all). */
+  val DEEP_PLAN_PROBE_ROWS = "spark.graft.rpt.deepPlanProbeRows"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -327,6 +344,8 @@ object RptConf {
     conf.getConfString(BROADCAST_CONVERSION_MARGIN, "4.0").toDouble
   def deepPlanEdges(conf: SQLConf): Int =
     conf.getConfString(DEEP_PLAN_EDGES, "6").toInt
+  def deepPlanProbeRows(conf: SQLConf): Long =
+    conf.getConfString(DEEP_PLAN_PROBE_ROWS, "4194304").toLong
   def buildForm(conf: SQLConf): String =
     normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
   def failFast(conf: SQLConf): Boolean =
