@@ -77,12 +77,8 @@ object RptBench {
       .getOrElse(Set.empty)
     val spark = GraftSession.build(appName = "graft-rpt-bench")
     GraftSession.loadTables(spark, sfDir)
-    // ad-hoc conf overrides for A/B probes, e.g.
-    // SPARK_GRAFT_EXTRA_CONFS="spark.graft.rpt.deepPlanProbeRows=999"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.trim.split("=", 2)
-      spark.conf.set(k, v)
-    })
+    // ad-hoc conf overrides for A/B probes ride GraftSession's
+    // SPARK_GRAFT_EXTRA_CONF hook ("k=v;k=v"), applied at session build
 
     val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       (queries.toSeq.map { case (n, sql) => n -> (() => spark.sql(sql)) } ++

@@ -24,7 +24,8 @@ object StreamBench {
 
   private case class OpResult(
       name: String, batches: Int, rows: Long, totalTrigMs: Long,
-      addBatchMs: Long, commitMs: Long) {
+      addBatchMs: Long, commitMs: Long,
+      stateRowsMax: Long, stateMemMax: Long) {
     def rowsPerSec: Double =
       if (totalTrigMs <= 0) 0.0 else rows * 1000.0 / totalTrigMs
     def commitPerBatch: Double =
@@ -34,6 +35,18 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    // SPARK_GRAFT_STREAM_KEYMULT=K scales DISTINCT STATE KEYS: the event
+    // fixture is unioned K times with shifted user_ids (same time range,
+    // so ~K x sessions are live at any watermark position) and the doc
+    // fixture K times with salted text (K x distinct content hashes in the
+    // dedup store). This is the state-SIZE axis of the store crossover —
+    // rows/batch grows too (a state entry needs a row), so compare
+    // rows/sec at equal K across stores, not across K.
+    val keyMult = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYMULT", "1").toInt
+    // optional op allowlist for the crossover matrix (substring match)
+    val onlyOps: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = GraftSession.build(appName = "graft-stream-bench")
     // the gate-drain finding: per-partition state-store commits dominate
     // small batches; a sustained deployment sizes this to throughput
@@ -53,11 +66,31 @@ object StreamBench {
     val docsDir = s"${tmp.getAbsolutePath}/docs"
     // time-ranged files: triggers arrive in rough event-time order, so
     // watermarks advance across batches like a live ingest
-    GraftSession.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val baseEvents =
+      GraftSession.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    val multEvents =
+      if (keyMult <= 1) baseEvents
+      else baseEvents
+        .crossJoin(spark.range(keyMult).toDF("graft_copy"))
+        .select(
+          (col("event_id") * keyMult + col("graft_copy")).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("graft_copy") * 100000000L).as("user_id"),
+          col("event_type"), col("value"))
+    multEvents
       .repartitionByRange(nBatches, col("ts"))
       .write.mode("overwrite").parquet(eventsDir)
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val multDocs =
+      if (keyMult <= 1) baseDocs
+      else baseDocs
+        .crossJoin(spark.range(keyMult).toDF("graft_copy"))
+        .select(
+          (col("doc_id") * keyMult + col("graft_copy")).as("doc_id"),
+          concat(col("text"), lit(" #"), col("graft_copy")).as("text"))
+    multDocs
       .select(col("doc_id"), col("text"),
         expr("timestamp_micros(1000000000 + doc_id)").as("ts"))
       .repartitionByRange(nBatches, col("ts"))
@@ -98,18 +131,19 @@ object StreamBench {
         eventStream().where("event_type = 'purchase'"))),
       "v11_dedup_exact" -> (() => StreamingOps.dedupExact(docStream())))
 
-    val results = ops.map { case (name, mk) =>
-      run(spark, name, mk())
-    }
+    val results = ops
+      .filter { case (name, _) =>
+        onlyOps.isEmpty || onlyOps.exists(name.contains) }
+      .map { case (name, mk) => run(spark, name, mk()) }
 
-    println(f"${"op"}%-20s ${"batches"}%8s ${"rows"}%12s ${"rows/sec"}%12s ${"commit ms/batch"}%16s")
+    println(f"${"op"}%-22s ${"batches"}%8s ${"rows"}%12s ${"rows/sec"}%12s ${"commit ms/batch"}%16s ${"state rows"}%12s ${"state MB"}%9s")
     results.foreach { r =>
-      println(f"${r.name}%-20s ${r.batches}%8d ${r.rows}%,12d ${r.rowsPerSec}%,12.0f ${r.commitPerBatch}%16.1f")
+      println(f"${r.name}%-22s ${r.batches}%8d ${r.rows}%,12d ${r.rowsPerSec}%,12.0f ${r.commitPerBatch}%16.1f ${r.stateRowsMax}%,12d ${r.stateMemMax / 1048576.0}%9.1f")
     }
     val qJson = results.map { r =>
-      f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f}"""
+      f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f,"state_rows_max":${r.stateRowsMax},"state_mem_max":${r.stateMemMax}}"""
     }.mkString(",")
-    println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"ops":{$qJson}}""")
+    println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"store":"$store","key_mult":$keyMult,"ops":{$qJson}}""")
     spark.stop()
   }
 
@@ -129,7 +163,14 @@ object StreamBench {
         rows = progress.map(_.numInputRows).sum,
         totalTrigMs = dur("triggerExecution"),
         addBatchMs = dur("addBatch"),
-        commitMs = progress.flatMap(_.stateOperators.map(_.commitTimeMs)).sum)
+        commitMs = progress.flatMap(_.stateOperators.map(_.commitTimeMs)).sum,
+        // the state-SIZE axis: peak live entries and the store's own
+        // memory accounting (for RocksDB this is off-heap block/memtable
+        // usage; for the default store the in-heap map estimate)
+        stateRowsMax = (0L +: progress.flatMap(
+          _.stateOperators.map(_.numRowsTotal))).max,
+        stateMemMax = (0L +: progress.flatMap(
+          _.stateOperators.map(_.memoryUsedBytes))).max)
     } finally {
       query.stop()
       spark.catalog.dropTempView(sink)
