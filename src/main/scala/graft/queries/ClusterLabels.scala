@@ -50,10 +50,18 @@ object ClusterLabels {
       _ => {
         QueryDef.views(spark, sfDir)
         computations.incrementAndGet()
-        // the pair graph itself is session-cached too (PairGraph): the
-        // banded join runs once for d04 + d11 + this closure
+        // Component-equivalent STAR edges, not the clique pair list: the
+        // closure only needs connectivity, and the star form is linear
+        // in LSH-bucket size where the pair list is quadratic (the
+        // round-12 sf100 probe: 1000-member exact-dup buckets made the
+        // clique expansion spill past the disk; the band front end is
+        // still shared with d04/d11 via PairGraph's cached band table).
+        // ClusterLabelsSuite pins label equality against the full-pair
+        // closure; the d08 oracle (recursive closure over the d04 pairs)
+        // stays byte-identical because every bucket member reaches the
+        // bucket minimum through the star.
         graft.ops.ConnectedComponents
-          .labels(PairGraph.pairs(spark, sfDir), "doc_a", "doc_b")
+          .labels(PairGraph.starEdges(spark, sfDir), "doc_a", "doc_b")
           .selectExpr("node_id AS doc_id", "rep_id")
           .localCheckpoint(eager = true)
       })

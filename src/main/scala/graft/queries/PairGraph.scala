@@ -4,46 +4,97 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, min}
 
 /**
- * Session-cached MinHash-LSH candidate pair graph: the (doc_a, doc_b)
- * pairs produced by the d04 banded join, computed ONCE per (session,
- * fixture dir) and shared by every consumer — d04's pair listing, the
- * d08/d10/p04 cluster closure (via [[ClusterLabels]]), and d11's
- * cross-source contamination matrix.
+ * Session-cached MinHash-LSH band table and its two derived edge sets,
+ * each computed ONCE per (session, fixture dir):
  *
- * Why: the banded self-join is the dedup pipeline's expensive front end
- * (shingle/minhash derivation + the (band, sig) exchange). Before this
- * cache d04, the closure, and d11 each re-ran it from the raw corpus —
- * the same critique VERDICT r07 made of the CC closure, one level down.
- * A 100 TB deployment materializes the candidate pair list once per
- * dedup cadence and feeds every downstream consumer from it; this cache
- * gives the single-session registry that shape.
+ *  - [[pairs]]: the (doc_a, doc_b) candidate pairs of the d04 banded
+ *    self-join — the union of per-(band, sig)-bucket CLIQUES. This is
+ *    the QUERY OUTPUT of d04 and d11, so its size is inherently
+ *    quadratic in bucket size (a bucket of k identical docs contributes
+ *    k·(k−1)/2 pairs). Consumers: d04's pair listing, d11's
+ *    contamination matrix.
+ *  - [[starEdges]]: one edge per band row to the bucket-minimum doc —
+ *    a spanning STAR per bucket, LINEAR in bucket size (≤4 edges per
+ *    doc), with exactly the same connected components as the clique
+ *    union (every bucket member reaches the bucket min; star edges are
+ *    a subset of clique edges). Consumer: the d08/d10/p04 cluster
+ *    closure ([[ClusterLabels]]), which only needs connectivity — the
+ *    round-12 sf100 probe showed the clique expansion exploding
+ *    quadratically on a corpus with 1000-member exact-dup buckets
+ *    (boilerplate mega-clusters at web scale) while the star form stays
+ *    proportional to the corpus.
  *
- * Size: LSH candidate pairs are a small fraction of the corpus (29 rows
- * at sf0.01, ~3k at sf1), so pinning the checkpoint blocks costs
- * kilobytes per fixture. Keyed by session REFERENCE (identity equality —
- * SparkSession doesn't override equals); stopped sessions evicted
- * lazily, matching [[ClusterLabels]].
+ * Both derive from one cached `bands` execution — the expensive front
+ * end (shingle → minhash → band explode over the raw corpus) runs once
+ * per (session, fixture) no matter which consumers fire, the shape a
+ * 100 TB deployment gets by materializing the band table once per dedup
+ * cadence. Pairs are additionally checkpointed so d04 + d11 share one
+ * clique expansion.
+ *
+ * Keyed by session REFERENCE (identity equality — SparkSession doesn't
+ * override equals); stopped sessions evicted lazily, matching
+ * [[ClusterLabels]].
  */
 object PairGraph {
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val bandsCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Fresh banded-join executions since JVM start — lets tests assert the
-    * sharing (one computation across d04 + d11 + the closure). */
+  /** Fresh band-table derivations since JVM start — lets tests assert the
+    * front end runs once across d04 + d11 + the closure. */
   private[graft] val computations = new AtomicLong(0L)
 
-  /** (doc_a, doc_b) candidate pairs, doc_a < doc_b, computed on first
-    * request per (session, sfDir), materialized, then served from cache. */
-  def pairs(spark: SparkSession, sfDir: String): DataFrame = {
-    cache.keySet().removeIf(_._1.sparkContext.isStopped)
-    cache.computeIfAbsent(
+  /** Fresh clique expansions since JVM start (d04 + d11 share one). */
+  private[graft] val pairExpansions = new AtomicLong(0L)
+
+  /** The (doc_id, band, sig) table of the d04 LSH banding, materialized
+    * once per (session, sfDir). Linear in the corpus (4 rows per doc). */
+  private def bands(spark: SparkSession, sfDir: String): DataFrame = {
+    bandsCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    bandsCache.computeIfAbsent(
       (spark, sfDir),
       _ => {
         QueryDef.views(spark, sfDir)
         computations.incrementAndGet()
-        DedupQueries.minhashPairs(spark).localCheckpoint(eager = true)
+        spark.sql(s"WITH ${DedupQueries.sparkMinhashCtes}\n" +
+            "SELECT doc_id, band, sig FROM bands")
+          .localCheckpoint(eager = true)
       })
   }
+
+  /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — identical to the
+    * one-shot d04 SQL (`DedupQueries.minhashPairs`), but expanded from
+    * the cached band table and itself cached for d04 + d11. */
+  def pairs(spark: SparkSession, sfDir: String): DataFrame = {
+    pairsCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val b = bands(spark, sfDir)
+        pairExpansions.incrementAndGet()
+        b.as("a").join(b.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+          .distinct()
+          .localCheckpoint(eager = true)
+      })
+  }
+
+  /** Spanning-star edges (bucket-min, member): component-equivalent to
+    * [[pairs]] but linear in bucket size. Cheap to derive from the
+    * cached bands (one window min), so not separately cached —
+    * [[ClusterLabels]] caches the closure it feeds. */
+  def starEdges(spark: SparkSession, sfDir: String): DataFrame =
+    bands(spark, sfDir)
+      .select(col("doc_id"),
+        min("doc_id").over(Window.partitionBy("band", "sig")).as("m"))
+      .where(col("doc_id") =!= col("m"))
+      .selectExpr("m AS doc_a", "doc_id AS doc_b")
+      .distinct()
 }

@@ -27,10 +27,10 @@ import graft.streaming.StreamingOps
  * only emit on watermark advancement, which a drain-to-completion batch
  * run can't trigger deterministically.
  *
- * Scale note: the memory sink is test/gate plumbing — a production run
- * writes `writeStream.format("parquet")`. The sink holds one copy of the
- * operator output on the driver, bounded by the fixture scale the gate
- * runs at (sf0.01: ≤2M small rows for the band explode).
+ * Scale note: drains write through the parquet FILE sink (the production
+ * shape — output stays distributed; the memory sink's driver-side collect
+ * hit `spark.driver.maxResultSize` on the round-12 sf100 probe) and the
+ * returned frame reads the sink directory back via its metadata log.
  */
 object StreamingQueries {
 
@@ -40,8 +40,8 @@ object StreamingQueries {
   private val StreamShufflePartitions = 8
 
   /** Runs `op` over a file-streaming read of `table`, drains every
-    * available micro-batch into a memory sink, stops the query, and
-    * returns the sink table (one fixture file ⇒ one micro-batch). */
+    * available micro-batch into a parquet file sink, stops the query, and
+    * returns a frame over the sink (one fixture file ⇒ one micro-batch). */
   private def runStream(spark: SparkSession, sfDir: String, table: String)(
       op: DataFrame => DataFrame): DataFrame = {
     val path = s"$sfDir/$table.parquet"
@@ -90,19 +90,42 @@ object StreamingQueries {
     val before = spark.conf.get(partKey)
     spark.conf.set(partKey,
       math.min(before.toInt, StreamShufflePartitions).toString)
+    // FILE sink, not the memory sink: the memory sink collects every
+    // output row onto the driver, which is fine at gate scale but dies on
+    // spark.driver.maxResultSize at bench scale (the round-12 sf100 probe:
+    // v09's ~1.8 GiB of sessions). The parquet sink is the production
+    // shape — output stays distributed, the returned frame reads it back
+    // through the sink's own metadata log (exactly-once file listing).
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain_")
+    drainDirs.add(dir)
+    val outPath = dir.resolve("out").toString
     try {
-      val query = streamed.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val query = streamed.writeStream.format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .queryName(name).outputMode("append").start()
       try query.processAllAvailable()
       finally query.stop()
     } finally spark.conf.set(partKey, before)
-    // Detach the sink table from the catalog before returning: the plan is
-    // already resolved, and leaving the view registered would pin every
-    // invocation's full output on the driver for the session's life.
-    val out = spark.table(name)
-    spark.catalog.dropTempView(name)
-    out
+    // Explicit schema: a zero-row drain leaves no parquet footer to infer
+    // from, and the sink never reorders or renames columns.
+    spark.read.schema(streamed.schema).parquet(outPath)
   }
+
+  /** Every drain's temp dir, deleted at JVM exit (a returned frame stays
+    * readable for the whole run — callers may re-scan it, so eager
+    * per-drain deletion is not safe). */
+  private val drainDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    drainDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
 
   /** Sentinel suffix on `event_type` marking the watermark-advancing row;
     * every gated query filters it (or its effects) back out. */
