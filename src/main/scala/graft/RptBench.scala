@@ -153,21 +153,31 @@ object RptBench {
         time(mk) // warmup
         val (r1s, r2s) = (1 to runs).map { _ =>
           graft.rpt.ProbeFeedback.clear()
-          val r1 = time(mk)
-          // keep-rate recording rides the async QueryExecutionListener
-          // bus: POLL until run1's executions have landed (a fixed sleep
-          // let run2 plan before feedback arrived on a loaded box,
-          // silently reporting ~1.0x), with a bounded wait so a dead
-          // listener degrades to the old behavior rather than hanging
-          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-          var landed = graft.rpt.ProbeFeedback.size
-          while (landed == 0 && System.nanoTime() < deadline) {
-            Thread.sleep(100)
-            landed = graft.rpt.ProbeFeedback.size
+          val df1 = mk()
+          val t0 = System.nanoTime()
+          df1.count()
+          val r1 = (System.nanoTime() - t0) / 1e9
+          // an entry whose plan carries no bloom probe (rule gated off,
+          // nothing transferable) will never land feedback — polling for
+          // it would stall the full deadline per iteration; skip the wait
+          val probesPlanned =
+            df1.queryExecution.optimizedPlan.toString.contains("graft_rpt_bf")
+          if (probesPlanned) {
+            // keep-rate recording rides the async QueryExecutionListener
+            // bus: POLL until run1's executions have landed (a fixed sleep
+            // let run2 plan before feedback arrived on a loaded box,
+            // silently reporting ~1.0x), with a bounded wait so a dead
+            // listener degrades to the old behavior rather than hanging
+            val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+            var landed = graft.rpt.ProbeFeedback.size
+            while (landed == 0 && System.nanoTime() < deadline) {
+              Thread.sleep(100)
+              landed = graft.rpt.ProbeFeedback.size
+            }
+            // one settle tick: entries for the LAST probe of run1 can
+            // trail the first by a bus flush
+            Thread.sleep(200)
           }
-          // one settle tick: entries for the LAST probe of run1 can trail
-          // the first by a bus flush
-          Thread.sleep(200)
           val r2 = time(mk)
           (r1, r2)
         }.unzip

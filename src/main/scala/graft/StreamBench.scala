@@ -69,6 +69,17 @@ object StreamBench {
     val baseEvents =
       GraftSession.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
         .select("event_id", "ts", "user_id", "event_type", "value")
+    // the salting domains must be checked, not assumed: a user_id at or
+    // past the 1e8 step would collide across copies (silently understating
+    // the distinct-key axis the crossover matrix measures), and
+    // `id * keyMult` on an unbounded id wraps Long
+    if (keyMult > 1) {
+      val mx = baseEvents.agg(max("user_id"), max("event_id")).head
+      require(mx.getLong(0) < 100000000L,
+        s"user_id ${mx.getLong(0)} >= 1e8 salting step: copies would collide")
+      require(mx.getLong(1) <= (Long.MaxValue - keyMult) / keyMult,
+        s"event_id ${mx.getLong(1)} * keyMult $keyMult would overflow Long")
+    }
     val multEvents =
       if (keyMult <= 1) baseEvents
       else baseEvents
@@ -83,6 +94,11 @@ object StreamBench {
       .write.mode("overwrite").parquet(eventsDir)
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    if (keyMult > 1) {
+      val mxDoc = baseDocs.agg(max("doc_id")).head.getLong(0)
+      require(mxDoc <= (Long.MaxValue - keyMult) / keyMult,
+        s"doc_id $mxDoc * keyMult $keyMult would overflow Long")
+    }
     val multDocs =
       if (keyMult <= 1) baseDocs
       else baseDocs

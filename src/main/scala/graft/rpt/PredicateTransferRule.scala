@@ -926,10 +926,20 @@ object PredicateTransferRule {
         case _: ShortType => Some(Short.MinValue.toLong)
         case _: IntegerType => Some(Int.MinValue.toLong)
         case _: DateType => Some(Int.MinValue.toLong)
-        case _ => None // Long/Timestamp: the caller's footer-bound guard
+        case _ => None // Long/Timestamp: guarded below, not by Greatest
       }
-      val clamped =
-        typeMin.map(v => Greatest(Seq(q, Literal(v)))).getOrElse(q)
+      val clamped = typeMin.map(v => Greatest(Seq(q, Literal(v)))).getOrElse {
+        // Long-domain keys (Long/Timestamp): `l - pmod(l, w)` itself wraps
+        // (non-ANSI) or throws (ANSI) for l within w of Long.MinValue, and
+        // the footer-derived grid only samples MaxFooters files — runtime
+        // keys in unsampled files can sit anywhere in the domain. Pin those
+        // keys to the Long.MinValue anchor: coverage holds (k <=
+        // Long.MinValue + w = anchor + w) and the subtraction is never
+        // evaluated on a wrapping input. Long.MinValue + w cannot overflow:
+        // w <= 2^62 (span/buckets under the 2^61 footer-range guard).
+        If(LessThanOrEqual(l, Literal(Long.MinValue + w)),
+          Literal(Long.MinValue), q)
+      }
       dt match {
         case _: LongType => clamped
         case _: DateType => DateFromUnixDate(Cast(clamped, IntegerType))

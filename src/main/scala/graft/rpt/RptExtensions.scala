@@ -29,6 +29,11 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
     // pure planning overhead; here they are visited once and then merged
     // by MergeScalarSubqueries, which runs after preCBO rules.
     ext.injectPreCBORule(_ => PredicateTransferRule())
+    // stage-level cleanup of DynamicPruningExpression(true) residues on v2
+    // scans (left by PlanAdaptiveDynamicPruningFilters when a stock
+    // onlyInBroadcast group filter finds no broadcast to reuse): each one
+    // is a no-op that logs a WARN per scan per execution
+    ext.injectQueryStageOptimizerRule(_ => StripNoOpRuntimeFilters())
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),

@@ -93,15 +93,22 @@ object DeepGateLadder {
 
     val out = new StringBuilder("LADDER_JSON {")
     (4 to 12).zipWithIndex.foreach { case (edges, i) =>
+      // per-config result row, collected UNDER that config: a correctness
+      // regression in any config must fail the ladder, not hide behind a
+      // single collect under whatever conf the loop left last
+      val resultRows = scala.collection.mutable.Map[String, org.apache.spark.sql.Row]()
       val row = configs.map { case (cname, confs) =>
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         time(edges) // warmup (also absorbs first-planning costs)
         val best = (1 to runs).map(_ => time(edges)).min
+        resultRows(cname) = chain(edges).collect().head
         spark.conf.set("spark.graft.rpt.deepPlanEdges", "6")
         spark.conf.unset("spark.graft.rpt.deepPlanProbeRows")
         cname -> best
       }.toMap
-      val counts = chain(edges).collect().head // sanity: same rows per config
+      val counts = resultRows("off")
+      require(resultRows.values.forall(_ == counts),
+        s"config results disagree at $edges edges: $resultRows")
       if (i > 0) out.append(",")
       out.append(f""""e$edges":{"off":${row("off")}%.3f,"gated":${row("gated")}%.3f,""" +
         f""""bypass":${row("bypass")}%.3f,"default":${row("default")}%.3f,""" +
