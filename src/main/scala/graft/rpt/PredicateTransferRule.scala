@@ -364,6 +364,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // altogether; shallow plans keep the margin-widened compare.
     val deepPlan = graph.edges.size >= RptConf.deepPlanEdges(conf)
     val deepProbeRows = RptConf.deepPlanProbeRows(conf).toDouble
+    val bypassKeep = RptConf.deepPlanBypassKeep(conf)
     val bcMargin = RptConf.broadcastConversionMargin(conf)
     val v2ScanFilter = RptConf.v2ScanFilter(conf)
     val v2ScanMaxBuildRows = RptConf.v2ScanFilterMaxBuildRows(conf).toDouble
@@ -381,14 +382,37 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // injected into the relation's read options after the final splice
     val quantInjections =
       new JIdentityHashMap[LogicalPlan, mutable.Map[String, Long]]()
+    // probe relation instance -> lower-cased columns marked for ENVELOPE
+    // interpretation (graft.range.<col>) — the over-cap path for keys the
+    // grid can't express
+    val rangeInjections =
+      new JIdentityHashMap[LogicalPlan, mutable.Set[String]]()
     // First registration of a (relation, column) wins: the scan holds ONE
     // width per column, and anchors built with the registered width keep
     // the [anchor, anchor+width] coverage invariant for every later op.
-    def registerQuant(rel: LogicalPlan, col: String, w: Long): Long = {
-      val m = Option(quantInjections.get(rel)).getOrElse {
-        val nm = mutable.Map[String, Long](); quantInjections.put(rel, nm); nm
+    // A column may be quant-marked OR range-marked, never both: mixed
+    // interpretation of one column's deliveries would under-cover (two
+    // envelope values read as anchors span [min,min+w] ∪ [max,max+w],
+    // not [min,max]) — registration refuses the second kind.
+    def registerQuant(rel: LogicalPlan, col: String, w: Long): Option[Long] = {
+      val c = col.toLowerCase(java.util.Locale.ROOT)
+      if (Option(rangeInjections.get(rel)).exists(_.contains(c))) None
+      else {
+        val m = Option(quantInjections.get(rel)).getOrElse {
+          val nm = mutable.Map[String, Long](); quantInjections.put(rel, nm); nm
+        }
+        Some(m.getOrElseUpdate(c, w))
       }
-      m.getOrElseUpdate(col.toLowerCase(java.util.Locale.ROOT), w)
+    }
+    def registerRange(rel: LogicalPlan, col: String): Boolean = {
+      val c = col.toLowerCase(java.util.Locale.ROOT)
+      if (Option(quantInjections.get(rel)).exists(_.contains(c))) false
+      else {
+        Option(rangeInjections.get(rel)).getOrElse {
+          val ns = mutable.Set[String](); rangeInjections.put(rel, ns); ns
+        } += c
+        true
+      }
     }
     // Grid width from zero-execution footer stats of the build key's leaf.
     // The width only sets pruning RESOLUTION: quantization is total over
@@ -445,52 +469,64 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val runtimeGate = RptConf.runtimeSizedBuilds(conf)
     val footerGate = RptConf.footerKeepGate(conf)
     val keepFrac = RptConf.maxBuildKeepFraction(conf)
-    val keepGateMemo = mutable.HashMap[Int, Boolean]()
-    def measuredUnselective(id: Int): Boolean =
-      // quick exit when every stats source is disabled — the gate can
-      // never fire, don't even pay the footer reads
-      (runtimeGate || conf.cboEnabled || footerGate) &&
-      keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id, {
+    // any stats source live? when all are disabled neither keep gate can
+    // ever fire — don't even pay the footer reads
+    val keepSources = runtimeGate || conf.cboEnabled || footerGate
+    // estimated (keptRows, totalRows) of the unit's OWN static filter, or
+    // None when no source can estimate it; memoized per unit
+    val keepEstMemo = mutable.HashMap[Int, Option[(Double, Double)]]()
+    def keepEstimate(id: Int): Option[(Double, Double)] =
+      keepEstMemo.getOrElseUpdate(id, {
         val u = graph.units(id)
-        selectivelyFiltered(u.plan) && {
+        if (!selectivelyFiltered(u.plan)) None
+        else {
           val unfiltered: Option[Double] = u.plan.collectLeaves() match {
             case Seq(leaf) => leaf.stats.rowCount.map(_.toDouble)
               .orElse(ParquetRowCounts.rowCount(leaf).map(_.toDouble))
             case _ => None
           }
-          unfiltered.exists { tot =>
-            tot > 0 && {
-              // the CBO estimate is only trustworthy when the filter's
-              // columns actually carry ANALYZE'd stats: FilterEstimation
-              // assumes selectivity 1.0 (keeps ALL rows) for predicates it
-              // cannot estimate, which would read as "weak" and silently
-              // stand the rule down for every CBO user without stats
-              val cboUsable = conf.cboEnabled && {
-                val statAttrs = u.plan.stats.attributeStats
-                val filterAttrs = u.plan.collect {
-                  case Filter(c, _) => splitConjunctivePredicates(c)
-                    .filter {
-                      case _: IsNotNull | _: Not => false
-                      case _ => true
-                    }.flatMap(_.references)
-                }.flatten
-                filterAttrs.nonEmpty && filterAttrs.forall(statAttrs.contains)
-              }
-              val estKeep =
-                if (cboUsable) u.plan.stats.rowCount.map(_.toDouble)
-                else None
-              estKeep.orElse {
-                if (runtimeGate && u.cardMeasured) {
-                  RuntimeCounts.count(u.plan).map(_.toDouble)
-                } else None
-              }.orElse {
-                if (footerGate) FooterStats.keepFraction(u.plan).map(_ * tot)
-                else None
-              }.exists(_ >= keepFrac * tot)
+          unfiltered.filter(_ > 0).flatMap { tot =>
+            // the CBO estimate is only trustworthy when the filter's
+            // columns actually carry ANALYZE'd stats: FilterEstimation
+            // assumes selectivity 1.0 (keeps ALL rows) for predicates it
+            // cannot estimate, which would read as "weak" and silently
+            // stand the rule down for every CBO user without stats
+            val cboUsable = conf.cboEnabled && {
+              val statAttrs = u.plan.stats.attributeStats
+              val filterAttrs = u.plan.collect {
+                case Filter(c, _) => splitConjunctivePredicates(c)
+                  .filter {
+                    case _: IsNotNull | _: Not => false
+                    case _ => true
+                  }.flatMap(_.references)
+              }.flatten
+              filterAttrs.nonEmpty && filterAttrs.forall(statAttrs.contains)
             }
+            val estKeep =
+              if (cboUsable) u.plan.stats.rowCount.map(_.toDouble)
+              else None
+            estKeep.orElse {
+              if (runtimeGate && u.cardMeasured) {
+                RuntimeCounts.count(u.plan).map(_.toDouble)
+              } else None
+            }.orElse {
+              if (footerGate) FooterStats.keepFraction(u.plan).map(_ * tot)
+              else None
+            }.map(k => (k, tot))
           }
         }
       })
+    val keepGateMemo = mutable.HashMap[Int, Boolean]()
+    def measuredUnselective(id: Int): Boolean =
+      keepSources && keepFrac < 1.0 && keepGateMemo.getOrElseUpdate(id,
+        keepEstimate(id).exists { case (k, tot) => k >= keepFrac * tot })
+    // stricter keep ceiling for the probe-volume BYPASS (see
+    // RptConf.DEEP_PLAN_BYPASS_KEEP): an estimable-and-weak build must not
+    // ride the aggressive exception path; unestimable builds (equality/IN/
+    // LIKE filters footers can't price) keep the benefit of the doubt
+    def bypassWeakBuild(id: Int): Boolean =
+      keepSources && bypassKeep < 1.0 &&
+        keepEstimate(id).exists { case (k, tot) => k >= bypassKeep * tot }
 
     // The v2 in-scan gate guards the DRIVER-side IN-set the engine
     // collects (InSubqueryExec values), so it should key on the FILTERED
@@ -553,9 +589,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           // floor keeps 2-edge scan-bound shapes gated: with ≤2 joins
           // there is not enough downstream work for the cut to pay at any
           // scale measured (star_part 0.66×/0.73× at sf1/sf10, vs the
-          // 4-edge chain's 1.14× and q06's sf10 1.83×).
+          // 4-edge chain's 1.14× and q06's sf10 1.83×). The bypass also
+          // demands the build not be MEASURED weak at the stricter
+          // bypass keep ceiling: q06's r12 sf1 0.76× came from bypassed
+          // probes whose builds keep ~half their rows (`p_size < 25`),
+          // statically visible in footer ranges — weak builds take the
+          // normal gate, unestimable ones (equality cascades) still
+          // bypass.
           !(graph.units(op.probe).card >= deepProbeRows &&
-            graph.edges.size >= RptConf.deepPlanEdges(conf) / 2) && {
+            graph.edges.size >= RptConf.deepPlanEdges(conf) / 2 &&
+            !bypassWeakBuild(op.build)) && {
           // skip when the build–probe JOIN will run as a broadcast join —
           // whichever input is smaller gets broadcast, and AQE converts
           // using runtime (filtered, shuffle-compressed) sizes that the
@@ -684,13 +727,54 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
                 if v2Attrs.contains(pk.exprId) && pk.dataType == bk.dataType =>
               graftRelationFor(unitPlan, pk.exprId).foreach { rel =>
                 quantWidthFor(op.build, bk, buildPlan).foreach { w0 =>
-                  val w = registerQuant(rel, pk.name, w0)
-                  quantExpr(bk, w).foreach { qe =>
-                    scanOnlyConds += DynamicPruningSubquery(pk,
-                      SqlBridge.planV2Scans(buildPlan), Seq(qe), Seq(0),
-                      onlyInBroadcast = false)
-                    quantHandled += i
+                  registerQuant(rel, pk.name, w0).foreach { w =>
+                    quantExpr(bk, w).foreach { qe =>
+                      scanOnlyConds += DynamicPruningSubquery(pk,
+                        SqlBridge.planV2Scans(buildPlan), Seq(qe), Seq(0),
+                        onlyInBroadcast = false)
+                      quantHandled += i
+                    }
                   }
+                }
+              }
+            case _ => ()
+          }
+          // ENVELOPE path for keys the grid cannot express — VARCHAR and
+          // other non-integral orderable types (exactly the types whose
+          // runtime min/max the reference tracks during its sink,
+          // physical_create_bf.cpp:131-176), plus integral keys whose
+          // build leaf lacks usable footer stats. The build delivers its
+          // runtime MIN and MAX (two rows via Expand over one global
+          // aggregate — a single build-side scan) through the same
+          // DynamicPruningSubquery channel, and the probe relation is
+          // marked `graft.range.<col>` so the scan reads the delivered
+          // pair as the [lo, hi] envelope: footer file-prune + row-group
+          // zone-map skip, runtime-fresh, no planning-time staleness.
+          op.probeKeys.zip(op.buildKeys).zipWithIndex
+            .filterNot { case (_, i) => quantHandled(i) }.foreach {
+            case ((pk: AttributeReference, bk: AttributeReference), i)
+                if v2Attrs.contains(pk.exprId) &&
+                  pk.dataType == bk.dataType &&
+                  PredicateTransferRule.envelopeSupported(pk.dataType) =>
+              graftRelationFor(unitPlan, pk.exprId).foreach { rel =>
+                if (registerRange(rel, pk.name)) {
+                  val needed = AttributeSet(bk.references)
+                  val projected =
+                    Project(buildPlan.output.filter(needed.contains), buildPlan)
+                  val mn = Alias(Min(bk).toAggregateExpression(),
+                    "graft_rpt_envmn")()
+                  val mx = Alias(Max(bk).toAggregateExpression(),
+                    "graft_rpt_envmx")()
+                  val agg = Aggregate(Nil, Seq(mn, mx), projected)
+                  val out = AttributeReference("graft_rpt_env", bk.dataType,
+                    nullable = true)()
+                  val env = Expand(
+                    Seq(Seq(mn.toAttribute), Seq(mx.toAttribute)),
+                    Seq(out), agg)
+                  scanOnlyConds += DynamicPruningSubquery(pk,
+                    SqlBridge.planV2Scans(env), Seq(out), Seq(0),
+                    onlyInBroadcast = false)
+                  quantHandled += i // scan-handled: skip the literal fallback
                 }
               }
             case _ => ()
@@ -801,17 +885,22 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // (newScanBuilder(relation.options) — the per-plan metadata channel)
     // and switches that column's runtime IN-set to range interpretation.
     // Identity-keyed: only the exact probe instances the loop registered.
-    if (quantInjections.isEmpty) spliced
+    if (quantInjections.isEmpty && rangeInjections.isEmpty) spliced
     else spliced.transform {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-          if quantInjections.containsKey(r) =>
+          if quantInjections.containsKey(r) || rangeInjections.containsKey(r) =>
         val merged = new java.util.HashMap[String, String](
           r.options.asCaseSensitiveMap())
-        quantInjections.get(r).foreach { case (c, w) =>
+        Option(quantInjections.get(r)).foreach(_.foreach { case (c, w) =>
           merged.put(
             org.apache.spark.sql.graft.sources.GraftParquetScan
               .QuantOptionPrefix + c, w.toString)
-        }
+        })
+        Option(rangeInjections.get(r)).foreach(_.foreach { c =>
+          merged.put(
+            org.apache.spark.sql.graft.sources.GraftParquetScan
+              .RangeOptionPrefix + c, "1")
+        })
         r.copy(options =
           new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged))
     }
@@ -946,6 +1035,21 @@ object PredicateTransferRule {
         case _: TimestampType => MicrosToTimestamp(clamped)
         case _ => Cast(clamped, dt)
       }
+    }
+  }
+
+  /** Types the over-cap ENVELOPE path supports: orderable atomics the
+    * graft-parquet scan both offers as runtime-filterable attributes and
+    * can footer-compare (strings and floats — the non-integral residue
+    * the quantized grid can't express — plus the integral/date types as
+    * a fallback when the build leaf lacks usable footer stats). */
+  private[rpt] def envelopeSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StringType | _: FloatType | _: DoubleType | _: ByteType |
+           _: ShortType | _: IntegerType | _: LongType | _: DateType => true
+      case _ => false
     }
   }
 

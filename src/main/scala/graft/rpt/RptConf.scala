@@ -111,11 +111,36 @@ object RptConf {
    *  [[DEEP_PLAN_EDGES]]/2 edges: 2-edge scan-bound shapes have too
    *  little downstream work for the cut to pay at any measured scale
    *  (star_part 0.66x/0.73x at sf1/sf10), while 4+-edge chains win
-   *  1.1-1.8x. Default 4M rows sits between the measured regimes
-   *  (600k-row probes lose, 6M-row probes win); at 100 TB every fact
-   *  probe clears it (matching the reference, whose transfers don't
-   *  consult join strategy at all). */
+   *  1.1-1.8x. Default 16M rows (raised from 4M in r13): re-measured at
+   *  sf1 broadcast, 6M-row probes are noise-level for the chain family
+   *  (0.92-1.09x) and a standing loss for q06 (0.66-0.76x), while
+   *  60M-row probes win decisively (q06 4.4x at sf10) — the bypass pays
+   *  from the tens-of-millions regime up, so the floor now sits between
+   *  the measured scales (6M neutral-to-losing, 60M winning). At 100 TB
+   *  every fact probe clears it (matching the reference, whose transfers
+   *  don't consult join strategy at all). */
   val DEEP_PLAN_PROBE_ROWS = "spark.graft.rpt.deepPlanProbeRows"
+  /** Keep-fraction ceiling for the probe-volume bypass, refining
+   *  [[DEEP_PLAN_PROBE_ROWS]]: an op only BYPASSES the broadcast-skip
+   *  gate when its build's estimated static keep fraction is NOT
+   *  measured at or above this (stricter than the general
+   *  [[MAX_BUILD_KEEP_FRACTION]] 0.8). The bypass is the aggressive
+   *  exception path — it transfers where the join-strategy argument says
+   *  not to, betting that per-row downstream savings amortize the
+   *  subquery overhead — and that bet only pays when the probe actually
+   *  removes rows. q06's r12 0.76x at sf1 broadcast decomposes into
+   *  exactly two bypassed ops, and its weak one is statically visible:
+   *  `p_size < 25` keeps ~50% of parts by footer range estimate, so the
+   *  part->lineitem probe hashes 6M rows to remove half — below the
+   *  overhead line at sf1. The winning ladder chains' builds are either
+   *  equality-driven (`r_name = 'ASIA'`, unestimable by footers — the
+   *  bypass proceeds) or strongly ranged (`p_size < 10`, ~20% keep —
+   *  under the ceiling). Estimable-and-weak builds keep the normal gate;
+   *  unestimable ones get the benefit of the doubt, preserving the
+   *  equality-cascade wins. Sf10 is unaffected: at that scale build
+   *  sides exceed the broadcast ceiling and ops transfer without
+   *  consulting the bypass at all. 1.0 disables this refinement. */
+  val DEEP_PLAN_BYPASS_KEEP = "spark.graft.rpt.deepPlanBypassKeepFraction"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -260,7 +285,16 @@ object RptConf {
    *  how large the build. On by default: runtime-fresh, exact-superset
    *  semantics, and it fires only when the probe leaf is a
    *  `graft-parquet` relation with an integral/date/timestamp key whose
-   *  build leaf has usable footer stats. */
+   *  build leaf has usable footer stats.
+   *
+   *  Keys the grid cannot express — VARCHAR and other non-integral
+   *  orderable types (the types whose runtime min/max the reference
+   *  tracks, physical_create_bf.cpp:131-176), or integral keys without
+   *  usable footer stats — take the ENVELOPE path under the same flag:
+   *  the build delivers its runtime MIN/MAX (two values through the same
+   *  channel) and the probe relation is marked `graft.range.<col>` so
+   *  the scan reads the pair as a `[lo, hi]` envelope — footer
+   *  file-prune plus row-group zone-map skip, still runtime-fresh. */
   val V2_QUANTIZED_OVER_CAP = "spark.graft.rpt.v2QuantizedOverCap"
   /** Target bucket count for the over-cap quantization grid (default
    *  4096): width = max(1, ceil(footerSpan / buckets)). More buckets =
@@ -345,7 +379,9 @@ object RptConf {
   def deepPlanEdges(conf: SQLConf): Int =
     conf.getConfString(DEEP_PLAN_EDGES, "6").toInt
   def deepPlanProbeRows(conf: SQLConf): Long =
-    conf.getConfString(DEEP_PLAN_PROBE_ROWS, "4194304").toLong
+    conf.getConfString(DEEP_PLAN_PROBE_ROWS, "16777216").toLong
+  def deepPlanBypassKeep(conf: SQLConf): Double =
+    conf.getConfString(DEEP_PLAN_BYPASS_KEEP, "0.5").toDouble
   def buildForm(conf: SQLConf): String =
     normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
   def failFast(conf: SQLConf): Boolean =

@@ -89,7 +89,7 @@ object DeepGateLadder {
         "spark.graft.rpt.deepPlanEdges" -> "1"),
       "default" -> Seq("spark.graft.rpt.enabled" -> "true",
         "spark.graft.rpt.deepPlanEdges" -> "6",
-        "spark.graft.rpt.deepPlanProbeRows" -> "4194304"))
+        "spark.graft.rpt.deepPlanProbeRows" -> "16777216"))
 
     val out = new StringBuilder("LADDER_JSON {")
     (4 to 12).zipWithIndex.foreach { case (edges, i) =>

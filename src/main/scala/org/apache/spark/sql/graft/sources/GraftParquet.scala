@@ -93,7 +93,8 @@ class GraftParquetScanBuilder(
   extends ParquetScanBuilder(spark, index, tableSchema, parquetDataSchema, opts) {
 
   override def build(): ParquetScan =
-    new GraftParquetScan(super.build(), GraftParquetScan.quantWidths(opts))
+    new GraftParquetScan(super.build(), GraftParquetScan.quantWidths(opts),
+      GraftParquetScan.rangeCols(opts))
 }
 
 /**
@@ -115,9 +116,23 @@ class GraftParquetScanBuilder(
  * physical_create_bf.cpp:282-350). A width conservatively widens ANY
  * predicate delivered on that column (an under-cap exact set widened by
  * `width` is a superset — never over-prunes).
+ *
+ * `rangeCols` (from `graft.range.<col>=1` read options) switches a
+ * column's runtime IN-set interpretation to an ENVELOPE: the delivered
+ * value set stands for the whole ordered range
+ * `[min(values), max(values)]`. The rule uses this for over-cap builds
+ * whose keys the quantized grid cannot express (VARCHAR and other
+ * non-integral orderable types): the build side delivers its runtime
+ * MIN/MAX (two values) and the scan prunes files whose footer range
+ * misses the envelope plus pushes `>= lo AND <= hi` to row-group zone
+ * maps — the type-generic half of the reference's runtime min/max scan
+ * filters (physical_create_bf.cpp:131-176, rpt_optimizer.cpp:1401-1501),
+ * runtime-fresh with no planning-time staleness caveat. An envelope
+ * conservatively widens any delivered set, so it never over-prunes.
  */
 class GraftParquetScan(base: ParquetScan,
-    val quantWidths: Map[String, Long] = Map.empty)
+    val quantWidths: Map[String, Long] = Map.empty,
+    val rangeCols: Set[String] = Set.empty)
   extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
     base.dataSchema, base.readDataSchema, base.readPartitionSchema,
     base.pushedFilters, base.options, base.pushedAggregate,
@@ -129,6 +144,9 @@ class GraftParquetScan(base: ParquetScan,
   // (quantized column name -> sorted disjoint [lo, hi] key ranges, in the
   // internal integral domain — days for dates, micros for timestamps)
   @volatile private var runtimeRanges: Map[String, Array[(Long, Long)]] = Map.empty
+  // (range-marked column name -> [lo, hi] envelope in the Catalyst-internal
+  // value space; None = empty delivered set, prunes everything)
+  @volatile private var runtimeEnvelopes: Map[String, Option[(Any, Any)]] = Map.empty
   @volatile private var poisoned = false
   // visible for tests/metrics: files before/after the footer prune
   @volatile var lastFilePrune: Option[(Int, Int)] = None
@@ -154,6 +172,14 @@ class GraftParquetScan(base: ParquetScan,
       .filter(_ => GraftParquetScan.toLongConv(readDataSchema(col).dataType)
         .isDefined)
 
+  /** Envelope interpretation for `col`: range-marked, not quant-marked
+    * (the rule never dual-marks; quant wins if an option set somehow
+    * carries both), and orderable. */
+  private def rangeMarked(col: String): Boolean =
+    rangeCols.contains(col.toLowerCase(java.util.Locale.ROOT)) &&
+      quantWidthOf(col).isEmpty &&
+      GraftParquetScan.catalystOrdering(readDataSchema(col).dataType).isDefined
+
   override def filter(predicates: Array[V2Predicate]): Unit = {
     GraftParquetScan.filterCalls.incrementAndGet()
     val parsed = predicates.flatMap(parseEqualityPredicate)
@@ -163,7 +189,8 @@ class GraftParquetScan(base: ParquetScan,
     // (e.g. forward and backward transfer passes) intersect — an empty
     // intersection legitimately prunes the whole scan
     val byCol = parsed.groupBy(_._1)
-    val nextKeys = byCol.filter(c => quantWidthOf(c._1).isEmpty)
+    val nextKeys = byCol
+      .filter(c => quantWidthOf(c._1).isEmpty && !rangeMarked(c._1))
       .map { case (c, vs) =>
         c -> vs.map(_._2.toSet).reduce(_ intersect _).toArray
       }
@@ -178,13 +205,31 @@ class GraftParquetScan(base: ParquetScan,
         }.reduce(GraftParquetScan.intersectRanges)
       }
     }
+    val nextEnvelopes = byCol.collect {
+      case (c, vs) if rangeMarked(c) =>
+        implicit val ord: Ordering[Any] =
+          GraftParquetScan.catalystOrdering(readDataSchema(c).dataType).get
+        // each delivery's envelope covers its value set; conjunction of
+        // deliveries intersects envelopes (empty -> prune everything)
+        c -> vs.map { case (_, values) =>
+          if (values.isEmpty) None else Some((values.min, values.max))
+        }.reduce[Option[(Any, Any)]] {
+          case (Some((l1, h1)), Some((l2, h2))) =>
+            val lo = ord.max(l1, l2); val hi = ord.min(h1, h2)
+            if (ord.lteq(lo, hi)) Some((lo, hi)) else None
+          case _ => None
+        }
+    }
     synchronized {
-      if ((runtimeKeys.nonEmpty || runtimeRanges.nonEmpty) &&
-          (runtimeKeys != nextKeys || !rangesEq(runtimeRanges, nextRanges))) {
+      if ((runtimeKeys.nonEmpty || runtimeRanges.nonEmpty ||
+            runtimeEnvelopes.nonEmpty) &&
+          (runtimeKeys != nextKeys || !rangesEq(runtimeRanges, nextRanges) ||
+            runtimeEnvelopes != nextEnvelopes)) {
         poisoned = true
       } else {
         runtimeKeys = nextKeys
         runtimeRanges = nextRanges
+        runtimeEnvelopes = nextEnvelopes
       }
     }
   }
@@ -263,12 +308,24 @@ class GraftParquetScan(base: ParquetScan,
         Seq(ranges.map(rangeFilter).reduce[sources.Filter](sources.Or(_, _)))
       } else Seq(rangeFilter((ranges.head._1, ranges.last._2)))
     }
-    val extra = (extraKeys ++ extraRanges).toArray
+    // envelope columns: push the [lo, hi] bounds (zone-map friendly for
+    // any orderable type incl. VARCHAR); an empty envelope pushes nothing
+    // — the file-level prune already drops every file
+    val extraEnvelopes = runtimeEnvelopes.flatMap { case (c, env) =>
+      val conv = CatalystTypeConverters.createToScalaConverter(
+        readDataSchema(c).dataType)
+      env.toSeq.flatMap { case (lo, hi) =>
+        Seq[sources.Filter](sources.GreaterThanOrEqual(c, conv(lo)),
+          sources.LessThanOrEqual(c, conv(hi)))
+      }
+    }
+    val extra = (extraKeys ++ extraRanges ++ extraEnvelopes).toArray
     if (extra.isEmpty) this else copy(pushedFilters = pushedFilters ++ extra)
   }
 
   private def runtimeActive: Boolean =
-    (runtimeKeys.nonEmpty || runtimeRanges.nonEmpty) && !poisoned
+    (runtimeKeys.nonEmpty || runtimeRanges.nonEmpty ||
+      runtimeEnvelopes.nonEmpty) && !poisoned
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (!runtimeActive) super.createReaderFactory()
@@ -293,6 +350,7 @@ class GraftParquetScan(base: ParquetScan,
     val base = super.partitions
     val keys = runtimeKeys
     val ranges = runtimeRanges
+    val envelopes = runtimeEnvelopes
     val runtimeOk = runtimeActive
     val staticFilters = pushedFilters.filter(GraftParquetScan.prunable)
     if (!runtimeOk && staticFilters.isEmpty) return base
@@ -306,6 +364,12 @@ class GraftParquetScan(base: ParquetScan,
           GraftParquetScan.fileMayIntersect(
             hadoopConf, f.filePath.toPath, f.fileSize, c,
             readDataSchema(c).dataType, rs)
+        } && envelopes.forall { case (c, env) =>
+          env.exists { case (lo, hi) =>
+            GraftParquetScan.fileMayOverlap(
+              hadoopConf, f.filePath.toPath, f.fileSize, c,
+              readDataSchema(c).dataType, lo, hi)
+          } // None (empty delivered set) keeps no file
         })) &&
         staticFilters.forall(flt => GraftParquetScan.fileMayMatch(
           hadoopConf, f.filePath.toPath, f.fileSize, readDataSchema, flt))
@@ -323,9 +387,12 @@ class GraftParquetScan(base: ParquetScan,
   override def description(): String = {
     val rf =
       if (poisoned) ", RuntimeFilters: [disabled: conflicting reuse]"
-      else if (runtimeKeys.isEmpty && runtimeRanges.isEmpty) ""
+      else if (runtimeKeys.isEmpty && runtimeRanges.isEmpty &&
+        runtimeEnvelopes.isEmpty) ""
       else (runtimeKeys.map { case (c, v) => s"$c IN (${v.length} values)" } ++
-        runtimeRanges.map { case (c, r) => s"$c IN (${r.length} ranges)" })
+        runtimeRanges.map { case (c, r) => s"$c IN (${r.length} ranges)" } ++
+        runtimeEnvelopes.map { case (c, e) =>
+          if (e.isDefined) s"$c IN [envelope]" else s"$c IN [empty envelope]" })
         .mkString(", RuntimeFilters: [", ", ", "]")
     super.description() + rf
   }
@@ -335,7 +402,9 @@ class GraftParquetScan(base: ParquetScan,
   override def equals(obj: Any): Boolean = obj match {
     case g: GraftParquetScan =>
       super.equals(g) && runtimeKeysEq(g) && poisoned == g.poisoned &&
-        quantWidths == g.quantWidths && rangesEq(runtimeRanges, g.runtimeRanges)
+        quantWidths == g.quantWidths && rangeCols == g.rangeCols &&
+        rangesEq(runtimeRanges, g.runtimeRanges) &&
+        runtimeEnvelopes == g.runtimeEnvelopes
     case _ => false
   }
   private def runtimeKeysEq(g: GraftParquetScan): Boolean =
@@ -368,6 +437,12 @@ object GraftParquetScan {
     * days for dates, micros for timestamps). Injected per-plan by the RPT
     * rule's over-cap in-scan path. */
   val QuantOptionPrefix = "graft.quant."
+  /** Read-option prefix declaring a column's runtime IN-set as an ordered
+    * ENVELOPE (`graft.range.<col> = 1`): the delivered values stand for
+    * the whole range `[min, max]`. Injected per-plan by the RPT rule's
+    * over-cap path for non-integral (e.g. VARCHAR) keys, whose build
+    * delivers exactly its runtime min and max. */
+  val RangeOptionPrefix = "graft.range."
   /** Past this many merged runs, the pushed OR-of-ranges collapses to the
     * global envelope (row-group evaluation of a huge OR tree costs more
     * than it skips; the file-level prune still uses every run). */
@@ -381,6 +456,28 @@ object GraftParquetScan {
         k.substring(QuantOptionPrefix.length)
           .toLowerCase(java.util.Locale.ROOT) -> v.toLong
     }.toMap
+
+  private[sources] def rangeCols(opts: CaseInsensitiveStringMap)
+      : Set[String] =
+    opts.asCaseSensitiveMap().asScala.keysIterator.collect {
+      case k if k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(RangeOptionPrefix) =>
+        k.substring(RangeOptionPrefix.length)
+          .toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  /** Footer-stats overlap for an envelope column: keep the file unless
+    * its [min,max] is disjoint from the delivered [lo,hi]. Unreadable
+    * stats keep the file. */
+  def fileMayOverlap(conf: org.apache.hadoop.conf.Configuration,
+      path: Path, len: Long, col: String, dt: DataType,
+      lo: Any, hi: Any): Boolean =
+    fileRange(conf, path, len, col, dt) match {
+      case Some((flo, fhi)) =>
+        val ord = catalystOrdering(dt).get
+        ord.lteq(flo, hi) && ord.lteq(lo, fhi)
+      case None => true
+    }
 
   /** Catalyst-internal value -> Long for integral-backed types (the only
     * types the rule quantizes). */

@@ -56,8 +56,14 @@ class QuantizedOverCapSuite extends SparkTestBase {
     }
     val cases: Seq[(DataType, Long, Seq[Any])] = Seq(
       (LongType, 10L, Seq(0L, 1L, 9L, 10L, 37L, -1L, -10L, -999999L,
-        123456789012L, (1L << 60), -(1L << 60))),
-      (LongType, 1L, Seq(-5L, 0L, 7L)),
+        123456789012L, (1L << 60), -(1L << 60),
+        // within w of Long.MinValue the raw `l - pmod(l, w)` would wrap
+        // (non-ANSI) or throw (ANSI) — these pin the Long-domain clamp
+        Long.MinValue, Long.MinValue + 1, Long.MinValue + 9,
+        Long.MinValue + 10, Long.MinValue + 11)),
+      (LongType, 1L, Seq(-5L, 0L, 7L, Long.MinValue, Long.MinValue + 1)),
+      (TimestampType, 1000L,
+        Seq(Long.MinValue, Long.MinValue + 999, Long.MinValue + 1000)),
       (IntegerType, 97L, Seq(Int.MinValue, Int.MinValue + 1, -100000, -1, 0,
         1, 96, 97, 98, Int.MaxValue)),
       (ShortType, 1000L, Seq(Short.MinValue.toInt.toShort, (-1).toShort,

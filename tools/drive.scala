@@ -268,6 +268,35 @@ check(qOn == qOff, "quantized over-cap changed results")
 check(qCalled, "quantized over-cap: runtime anchors never reached filter()")
 check(qPrune.exists { case (b, a) => a < b }, "quantized over-cap never pruned a file")
 
-val driveExpected = 36
+// --- round 13: over-cap ENVELOPE transfer for string keys (default-on) ---
+// string-keyed clustered fact (4 files, disjoint zero-padded key ranges) +
+// tiny filtered dim; cap -1 forces over-cap and the key is VARCHAR, so the
+// rule must deliver the build's runtime MIN/MAX through the DPS channel
+// with the probe relation range-marked: scan filter() called, files pruned
+// by the envelope, results equal to rule-off
+val envDir = java.nio.file.Files.createTempDirectory("drive_env_").toString
+spark.range(0, 40000).selectExpr("format_string('sk%05d', id) as sk", "id % 7 as grp").repartitionByRange(4, org.apache.spark.sql.functions.col("sk")).sortWithinPartitions("sk").write.mode("overwrite").parquet(s"$envDir/fact.parquet")
+spark.range(20000, 21000).selectExpr("format_string('sk%05d', id) as dk", "case when id % 2 = 0 then 'keep' else 'drop' end as tag").coalesce(1).write.mode("overwrite").parquet(s"$envDir/dim.parquet")
+def envRun(): Set[String] = { val fact = spark.read.format("graft-parquet").load(s"$envDir/fact.parquet"); val dim = spark.read.parquet(s"$envDir/dim.parquet").where("tag = 'keep'"); val grp2 = spark.read.parquet(s"$envDir/dim.parquet").groupBy("dk").count().withColumnRenamed("dk", "gk"); fact.join(dim, fact("sk") === dim("dk")).join(grp2, dim("dk") === grp2("gk")).groupBy("tag").agg(org.apache.spark.sql.functions.sum("grp").as("s")).collect().map(_.toString).toSet }
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "-1")
+org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal = None
+val ecalls0 = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get
+val eOn = envRun()
+val ePrune = org.apache.spark.sql.graft.sources.GraftParquetScan.lastFilePruneGlobal
+val eCalled = org.apache.spark.sql.graft.sources.GraftParquetScan.filterCalls.get > ecalls0
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val eOff = envRun()
+spark.conf.set("spark.graft.rpt.enabled", "true")
+spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1048576")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+println(s"[drive] envelopeOverCap rows=${eOn.size} prune=$ePrune filterCalled=$eCalled resultsEqual=${eOn == eOff}")
+check(eOn == eOff, "envelope over-cap changed results")
+check(eCalled, "envelope over-cap: runtime min/max never reached filter()")
+check(ePrune.exists { case (b, a) => a < b }, "envelope over-cap never pruned a file")
+
+val driveExpected = 39
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
