@@ -355,6 +355,9 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     val tablesTotal = new java.util.concurrent.atomic.AtomicInteger(0)
     val tablesMin = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
     val cyclesTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+    // over-cap slices (seed%11 in {2,3}) that actually planned an in-scan
+    // delivery — the adversarial-grid coverage must not be vacuous
+    val quantGridPlans = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -383,6 +386,18 @@ class JoinShapeFuzzSuite extends SparkTestBase {
               case 2 => Seq( // quantized over-cap alone (default-on path):
                 // every build over the cap, anchors through the DPS channel
                 RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1")
+              case 3 => Seq( // ADVERSARIAL grids: buckets from degenerate 1
+                // (one span-wide anchor) through span-sized (width-1
+                // anchors == the exact key set) to absurdly oversized —
+                // the coverage invariant (anchor(k) <= k <= anchor(k)+w)
+                // must hold for ANY grid resolution, which is exactly what
+                // makes STALE footer-derived grids harmless: a stale grid
+                // is just a different-resolution grid over the same total
+                // key domain. The suite pins fixed points; this slice
+                // soaks random plans x random resolutions.
+                RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1",
+                RptConf.V2_QUANT_BUCKETS ->
+                  Seq("1", "2", "3", "7", "4096", "1073741824")(seed % 6))
               case _ => Seq.empty
             }
             try {
@@ -399,10 +414,16 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 s.conf.set(RptConf.HEURISTIC, heur)
                 s.conf.set(RptConf.PASS_MODE, pass)
                 val gen = generate(seed.toLong, tbls, tblsV2) // fresh QueryExecution
-                if ((heur, pass) == cs.head &&
-                    gen.df.queryExecution.optimizedPlan.toString
-                      .contains("might_contain")) {
-                  rewritten.incrementAndGet()
+                if ((heur, pass) == cs.head) {
+                  val planStr = gen.df.queryExecution.optimizedPlan.toString
+                  if (planStr.contains("might_contain")) {
+                    rewritten.incrementAndGet()
+                  }
+                  if (seed % 11 == 2 || seed % 11 == 3) {
+                    if (planStr.contains("dynamicpruning")) {
+                      quantGridPlans.incrementAndGet()
+                    }
+                  }
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
@@ -433,11 +454,16 @@ class JoinShapeFuzzSuite extends SparkTestBase {
         .take(5).mkString("\n---\n"))
     info(f"$nPlans plans, ${tablesTotal.get.toDouble / nPlans}%.1f avg tables " +
       s"(min ${tablesMin.get}), ${cyclesTotal.get} cyclic attaches, " +
-      s"${rewritten.get} rewritten (first combo per seed)")
+      s"${rewritten.get} rewritten (first combo per seed), " +
+      s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids)")
     // the generator must actually produce cyclic join graphs (multi-parent
     // attaches) at sweep scale, not only trees
     if (nPlans >= 100) assert(cyclesTotal.get > 0,
       "no cyclic join graphs generated across the sweep")
+    // the over-cap slices (exact + adversarial-grid) must actually deliver
+    // in-scan transfers, not silently stand down
+    if (nPlans >= 100) assert(quantGridPlans.get > 0,
+      "no over-cap in-scan plans across the quant slices")
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite
     assert(tablesMin.get >= 5,
