@@ -104,12 +104,17 @@ object ConnectedComponents {
     // Materialize the input edge set ONCE: the upstream pair generator is
     // typically the expensive part (an LSH pipeline), and without this the
     // initial fingerprint plus round 1's two star passes would each
-    // recompute it from scratch
-    var e = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    // recompute it from scratch. HonestCheckpoint, not plain
+    // localCheckpoint: each round joins an aggregate of the edge set back
+    // against it, and with inherited pre-checkpoint ESTIMATES the
+    // min-label side gets statically broadcast at corpus scale (1.8 GiB
+    // driver collect at sf100) — measured stats let the join strategy
+    // stay broadcast on tiny graphs and shuffle on big ones.
+    var e = org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
+      edges
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
 
     var prev = fingerprint(e)
     var round = 0
@@ -119,7 +124,8 @@ object ConnectedComponents {
       // nest the previous round's (lineage grows exponentially with joins)
       val prevEdges = e
       val t0 = System.nanoTime()
-      e = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      e = org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
+        smallStar(largeStar(e)))
       val cur = fingerprint(e)
       // (round index, wall seconds for star passes + fingerprint, edges
       // after the round) — the sf-probe's per-round evidence that round

@@ -60,10 +60,13 @@ object ClusterLabels {
         // closure; the d08 oracle (recursive closure over the d04 pairs)
         // stays byte-identical because every bucket member reaches the
         // bucket minimum through the star.
-        graft.ops.ConnectedComponents
-          .labels(PairGraph.starEdges(spark, sfDir), "doc_a", "doc_b")
-          .selectExpr("node_id AS doc_id", "rep_id")
-          .localCheckpoint(eager = true)
+        // measured-stats checkpoint: consumers join these labels against
+        // the corpus — genuinely tiny label tables should broadcast,
+        // corpus-proportional ones (dup-heavy corpora) must not
+        org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
+          graft.ops.ConnectedComponents
+            .labels(PairGraph.starEdges(spark, sfDir), "doc_a", "doc_b")
+            .selectExpr("node_id AS doc_id", "rep_id"))
       })
   }
 }

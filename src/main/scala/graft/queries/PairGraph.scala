@@ -60,9 +60,13 @@ object PairGraph {
       _ => {
         QueryDef.views(spark, sfDir)
         computations.incrementAndGet()
-        spark.sql(s"WITH ${DedupQueries.sparkMinhashCtes}\n" +
-            "SELECT doc_id, band, sig FROM bands")
-          .localCheckpoint(eager = true)
+        // measured-stats checkpoint: the band table is estimated through
+        // projections that drop `text`, so the inherited estimate can sit
+        // under the broadcast threshold while the table is actually
+        // corpus-sized — the self-join below must never broadcast a side
+        org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
+          spark.sql(s"WITH ${DedupQueries.sparkMinhashCtes}\n" +
+            "SELECT doc_id, band, sig FROM bands"))
       })
   }
 
@@ -76,13 +80,13 @@ object PairGraph {
       _ => {
         val b = bands(spark, sfDir)
         pairExpansions.incrementAndGet()
-        b.as("a").join(b.as("b"),
-            col("a.band") === col("b.band") &&
-            col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-          .distinct()
-          .localCheckpoint(eager = true)
+        org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
+          b.as("a").join(b.as("b"),
+              col("a.band") === col("b.band") &&
+              col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+            .distinct())
       })
   }
 

@@ -297,6 +297,19 @@ check(eOn == eOff, "envelope over-cap changed results")
 check(eCalled, "envelope over-cap: runtime min/max never reached filter()")
 check(ePrune.exists { case (b, a) => a < b }, "envelope over-cap never pruned a file")
 
-val driveExpected = 39
+// --- HonestCheckpoint (round 13): localCheckpoint with MEASURED stats.
+// The pre-checkpoint estimate of an exploded df is wildly off (estimator
+// can't see the explode factor); the honest checkpoint must carry the
+// block-manager size instead, and the data must round-trip unchanged.
+val hcIn = spark.range(0, 2000).selectExpr("id", "explode(sequence(0, 99)) as j").selectExpr("id", "j", "repeat('x', 100) as pad")
+val hcEstimate = hcIn.queryExecution.optimizedPlan.stats.sizeInBytes
+val hcCp = org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(hcIn)
+val hcStats = hcCp.queryExecution.analyzed.stats.sizeInBytes
+println(s"[drive] honestCheckpoint estimate=$hcEstimate measured=$hcStats")
+check(hcStats > BigInt(0) && hcStats != hcEstimate, s"honest checkpoint kept the inherited estimate ($hcEstimate)")
+check(hcCp.count() == 200000L, "honest checkpoint changed row count")
+check(hcCp.selectExpr("sum(j)").collect().head.getLong(0) == 2000L * 4950L, "honest checkpoint changed data")
+
+val driveExpected = 42
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
