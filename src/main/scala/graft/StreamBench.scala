@@ -43,6 +43,14 @@ object StreamBench {
     // rows/batch grows too (a state entry needs a row), so compare
     // rows/sec at equal K across stores, not across K.
     val keyMult = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYMULT", "1").toInt
+    // SPARK_GRAFT_STREAM_UNIQUE_USERS=1 makes EVERY event its own state
+    // key (user_id := event_id), so live state entries ~= streamed rows.
+    // This reaches the multi-million-entry capacity boundary the
+    // STREAMBENCH_r12 rule extrapolates (~5M entries/executor) with ~100x
+    // fewer streamed rows than key-multiplying the natural user axis —
+    // the boundary is a STATE-SIZE property, not a row-volume one.
+    val uniqueUsers =
+      sys.env.get("SPARK_GRAFT_STREAM_UNIQUE_USERS").contains("1")
     // optional op allowlist for the crossover matrix (substring match)
     val onlyOps: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -66,9 +74,12 @@ object StreamBench {
     val docsDir = s"${tmp.getAbsolutePath}/docs"
     // time-ranged files: triggers arrive in rough event-time order, so
     // watermarks advance across batches like a live ingest
-    val baseEvents =
+    val baseEvents0 =
       GraftSession.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
         .select("event_id", "ts", "user_id", "event_type", "value")
+    val baseEvents =
+      if (!uniqueUsers) baseEvents0
+      else baseEvents0.withColumn("user_id", col("event_id"))
     // the salting domains must be checked, not assumed: a user_id at or
     // past the 1e8 step would collide across copies (silently understating
     // the distinct-key axis the crossover matrix measures), and
@@ -159,7 +170,7 @@ object StreamBench {
     val qJson = results.map { r =>
       f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f,"state_rows_max":${r.stateRowsMax},"state_mem_max":${r.stateMemMax}}"""
     }.mkString(",")
-    println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"store":"$store","key_mult":$keyMult,"ops":{$qJson}}""")
+    println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"store":"$store","key_mult":$keyMult,"unique_users":$uniqueUsers,"ops":{$qJson}}""")
     spark.stop()
   }
 

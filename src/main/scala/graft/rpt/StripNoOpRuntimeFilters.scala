@@ -1,8 +1,8 @@
 package graft.rpt
 
-import org.apache.spark.sql.catalyst.expressions.{DynamicPruningExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, DynamicPruningExpression, Expression, GetStructField, Literal}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{InSubqueryExec, SparkPlan}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 /**
@@ -32,6 +32,21 @@ case class StripNoOpRuntimeFilters() extends Rule[SparkPlan] {
 
   private def isNoOp(e: Expression): Boolean = e match {
     case DynamicPruningExpression(Literal.TrueLiteral) => true
+    // a runtime group filter whose pruning key is a COMPUTED expression
+    // (stock insertion on a computed join key) can never translate to a
+    // v2 column reference: translateRuntimeFilterV2 requires a pushable
+    // column and BatchScanExec silently skips untranslatable filters —
+    // but only after EXECUTING the filter's subquery and logging the
+    // WARN. Stripping it here avoids both; scan runtime filters are
+    // never row-evaluated, so nothing else consumes it.
+    case DynamicPruningExpression(in: InSubqueryExec) =>
+      !pushableColumn(in.child)
+    case _ => false
+  }
+
+  private def pushableColumn(e: Expression): Boolean = e match {
+    case _: Attribute => true
+    case g: GetStructField => pushableColumn(g.child) // nested column
     case _ => false
   }
 

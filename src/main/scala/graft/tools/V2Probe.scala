@@ -161,6 +161,76 @@ object V2Probe {
       out.append(s""","speedup_vs_stock":${
         math.round(results("stock")._2 / results("v2_in_scan")._2 * 1000) / 1000.0}}""")
     }
+    // ---- STRKEY regime (r13): string-keyed clustered layout, the
+    // runtime ENVELOPE path. The orderkey is materialized as a
+    // zero-padded VARCHAR in BOTH relations (string sort order == key
+    // order), the fact range-clustered by it — the layout a
+    // string-PK'd append-only fact has at scale. The build is forced
+    // over-cap, the literal fallback stays off: the only in-scan
+    // transfer available is the runtime MIN/MAX envelope delivered
+    // through the DPS channel (physical_create_bf.cpp:131-176 tracks
+    // exactly these bounds for VARCHAR sinks).
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit, lpad}
+      val factStrDir =
+        s"/root/repo/benchdata/v2probe-$sfName/lineitem_str.parquet"
+      val ordStrDir =
+        s"/root/repo/benchdata/v2probe-$sfName/orders_str.parquet"
+      if (!new java.io.File(factStrDir).exists()) {
+        val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("l_okey_str",
+            lpad(col("l_orderkey").cast("string"), 12, "0"))
+        l.repartitionByRange(16, col("l_okey_str"))
+          .sortWithinPartitions("l_okey_str")
+          .write.mode("overwrite").parquet(factStrDir)
+      }
+      if (!new java.io.File(ordStrDir).exists()) {
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_okey_str",
+            lpad(col("o_orderkey").cast("string"), 12, "0"))
+          .write.mode("overwrite").parquet(ordStrDir)
+      }
+      def chainStr(factFormat: String): DataFrame = {
+        val l = spark.read.format(factFormat).load(factStrDir)
+        val o = spark.read.parquet(ordStrDir)
+          .where(s"o_orderkey >= ${(maxKey * 0.94).toLong}")
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        l.join(o, l("l_okey_str") === o("o_okey_str"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      val savedCap =
+        spark.conf.get("spark.graft.rpt.v2ScanFilterMaxBuildRows")
+      // force over-cap so the envelope is the only in-scan channel
+      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1000")
+      spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
+      val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
+      spark.conf.set("spark.graft.rpt.v2ScanFilter", "false")
+      results("stock") = timedMin(
+        chainStr("parquet").collect().map(_.getLong(1)).sum)
+      results("v2_bf_only") = timedMin(
+        chainStr("graft-parquet").collect().map(_.getLong(1)).sum)
+      spark.conf.set("spark.graft.rpt.v2ScanFilter", "true")
+      GraftParquetScan.lastFilePruneGlobal = None
+      GraftParquetScan.lastBytePruneGlobal = None
+      results("v2_envelope") = timedMin(
+        chainStr("graft-parquet").collect().map(_.getLong(1)).sum)
+      val pruneE = GraftParquetScan.lastFilePruneGlobal
+        .map { case (b, a) => s""""files_before":$b,"files_after":$a""" }
+        .getOrElse(""""files_before":null,"files_after":null""")
+      val bytesE = GraftParquetScan.lastBytePruneGlobal
+        .map { case (b, a) => s""","bytes_before":$b,"bytes_after":$a""" }
+        .getOrElse("")
+      spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", savedCap)
+      val rows = results.values.map(_._1).toSet
+      require(rows.size == 1, s"strkey: configs disagree: $results")
+      out.append(s""","strkey":{"rows":${rows.head},$pruneE$bytesE,""")
+      out.append(results.map { case (k, (_, s)) =>
+        s""""$k":${math.round(s * 1000) / 1000.0}""" }.mkString(","))
+      out.append(s""","speedup_vs_stock":${
+        math.round(results("stock")._2 / results("v2_envelope")._2 * 1000) / 1000.0}}""")
+    }
     out.append(s""","sf":"$sfDir","runs":$runs}""")
     // scalastyle:off println
     println(out.toString)
