@@ -90,7 +90,7 @@ object DedupQueries {
        |  SELECT doc_id, graft_minhash8(graft_shingles60(split(text, ' '))) AS mh
        |  FROM $rel WHERE size(split(text, ' ')) >= 3),
        |bands AS (
-       |  SELECT /*+ REPARTITION(band, sig) */ doc_id, b.band, b.sig FROM hs
+       |  SELECT /*+ REPARTITION(band, sig) */ doc_id, b.band, b.sig, mh FROM hs
        |  LATERAL VIEW explode(array(
        |    struct(0 AS band, concat(mh[0], ':', mh[1]) AS sig),
        |    struct(1 AS band, concat(mh[2], ':', mh[3]) AS sig),
@@ -462,19 +462,23 @@ object DedupQueries {
     // cross-source contamination matrix: which SOURCE pairs share
     // near-duplicate content (crawl snapshots re-crawling each other,
     // a benchmark leaking into a dump). Reuses the d04 LSH pair graph —
-    // the expensive banded join is the same plan — then attributes each
-    // candidate pair to its unordered source pair. The doc_id->source
-    // lookups join the SMALL pair list (LSH candidates, a tiny fraction
-    // of the corpus) against documents on its unique key: skew-free
-    // shuffle joins whose build side is the pair list, not the corpus.
+    // the same shared band table and streamed expansion — then
+    // attributes each candidate pair to its unordered source pair. The
+    // doc_id->source lookup is BROADCAST: the pair stream is unbounded
+    // on dup-heavy corpora (quadratic in clique size) and must never be
+    // shuffled, while the (doc_id, source) projection is ~16 bytes/doc —
+    // broadcastable far past this box's scale (a 10^10-doc deployment
+    // swaps this for a bucketed band table + map-side lookup instead).
     QueryDef("d11_source_contamination",
       (spark, sfDir) => {
         views(spark, sfDir)
-        import org.apache.spark.sql.functions.expr
+        import org.apache.spark.sql.functions.{broadcast, expr}
         val docs = spark.table("documents")
         PairGraph.pairs(spark, sfDir)
-          .join(docs.selectExpr("doc_id AS doc_a", "source AS src_a"), "doc_a")
-          .join(docs.selectExpr("doc_id AS doc_b", "source AS src_b"), "doc_b")
+          .join(broadcast(
+            docs.selectExpr("doc_id AS doc_a", "source AS src_a")), "doc_a")
+          .join(broadcast(
+            docs.selectExpr("doc_id AS doc_b", "source AS src_b")), "doc_b")
           .selectExpr(
             "least(src_a, src_b) AS source_a",
             "greatest(src_a, src_b) AS source_b",

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions.{col, min}
  *    the QUERY OUTPUT of d04 and d11, so its size is inherently
  *    quadratic in bucket size (a bucket of k identical docs contributes
  *    k·(k−1)/2 pairs). Consumers: d04's pair listing, d11's
- *    contamination matrix.
+ *    contamination matrix. NEVER materialized: at corpus scale the pair
+ *    list does not fit anywhere (the sf100 fixture's 1000-member
+ *    exact-dup cliques yield ~2.5e9 pairs; an eager checkpoint or a
+ *    DISTINCT shuffle of that list filled the whole disk). Instead the
+ *    expansion STREAMS: each pair is emitted by its FIRST matching band
+ *    only (both sides carry the minhash vector; a band-b match is kept
+ *    iff every earlier band mismatches), which is set-identical to the
+ *    DISTINCT of the naive 4-band join but needs no dedup shuffle —
+ *    pairs flow straight from the co-partitioned band join into the
+ *    consumer's aggregation.
  *  - [[starEdges]]: one edge per band row to the bucket-minimum doc —
  *    a spanning STAR per bucket, LINEAR in bucket size (≤4 edges per
  *    doc), with exactly the same connected components as the clique
@@ -32,8 +41,10 @@ import org.apache.spark.sql.functions.{col, min}
  * end (shingle → minhash → band explode over the raw corpus) runs once
  * per (session, fixture) no matter which consumers fire, the shape a
  * 100 TB deployment gets by materializing the band table once per dedup
- * cadence. Pairs are additionally checkpointed so d04 + d11 share one
- * clique expansion.
+ * cadence. The pair EXPANSION on top of it is cheap relative to the
+ * front end and is re-run per consumer (d04, d11) — re-reading the
+ * materialized band table is what a production pipeline does too; only
+ * the linear-sized band table is ever stored.
  *
  * Keyed by session REFERENCE (identity equality — SparkSession doesn't
  * override equals); stopped sessions evicted lazily, matching
@@ -48,11 +59,15 @@ object PairGraph {
     * front end runs once across d04 + d11 + the closure. */
   private[graft] val computations = new AtomicLong(0L)
 
-  /** Fresh clique expansions since JVM start (d04 + d11 share one). */
+  /** Fresh pair-expansion PLAN constructions since JVM start (d04 + d11
+    * share one plan over the shared band table; each consumer streams
+    * its own execution of it). */
   private[graft] val pairExpansions = new AtomicLong(0L)
 
-  /** The (doc_id, band, sig) table of the d04 LSH banding, materialized
-    * once per (session, sfDir). Linear in the corpus (4 rows per doc). */
+  /** The (doc_id, band, sig, mh) table of the d04 LSH banding,
+    * materialized once per (session, sfDir). Linear in the corpus (4
+    * rows per doc); `mh` is the doc's full minhash vector, carried so
+    * the pair expansion can test EARLIER bands without a join back. */
   private def bands(spark: SparkSession, sfDir: String): DataFrame = {
     bandsCache.keySet().removeIf(_._1.sparkContext.isStopped)
     bandsCache.computeIfAbsent(
@@ -66,13 +81,20 @@ object PairGraph {
         // corpus-sized — the self-join below must never broadcast a side
         org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
           spark.sql(s"WITH ${DedupQueries.sparkMinhashCtes}\n" +
-            "SELECT doc_id, band, sig FROM bands"))
+            "SELECT doc_id, band, sig, mh FROM bands"))
       })
   }
 
-  /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — identical to the
-    * one-shot d04 SQL (`DedupQueries.minhashPairs`), but expanded from
-    * the cached band table and itself cached for d04 + d11. */
+  /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — set-identical to
+    * the one-shot d04 SQL (`DedupQueries.minhashPairs`), expanded from
+    * the cached band table. Unique by CONSTRUCTION (first-matching-band
+    * emission), so no DISTINCT shuffle and no materialization — the
+    * output is safe to stream at any clique size. The earlier-band test
+    * compares the carried minhash values directly (band j's sig is the
+    * ':'-joined render of mh[2j], mh[2j+1] — injective for longs, so
+    * value equality ⟺ sig equality); the three disjuncts stay inside
+    * whole-stage codegen, no higher-order functions on the 10^10-row
+    * hot path. */
   def pairs(spark: SparkSession, sfDir: String): DataFrame = {
     pairsCache.keySet().removeIf(_._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent(
@@ -80,13 +102,16 @@ object PairGraph {
       _ => {
         val b = bands(spark, sfDir)
         pairExpansions.incrementAndGet()
-        org.apache.spark.sql.graft.HonestCheckpoint.localCheckpoint(
-          b.as("a").join(b.as("b"),
-              col("a.band") === col("b.band") &&
-              col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-            .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-            .distinct())
+        b.as("a").join(b.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .where(org.apache.spark.sql.functions.expr(
+            """NOT ((a.band > 0 AND a.mh[0] = b.mh[0] AND a.mh[1] = b.mh[1])
+              |  OR (a.band > 1 AND a.mh[2] = b.mh[2] AND a.mh[3] = b.mh[3])
+              |  OR (a.band > 2 AND a.mh[4] = b.mh[4] AND a.mh[5] = b.mh[5]))
+              |""".stripMargin))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
       })
   }
 
