@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // BloomFilterAggregate hard-`require`s items/bits under these caps;
+      // the stock 4M items / 64Mbit would saturate (or fail) the filters
+      // the rule's probe-relative big-build path sizes for fact-scale
+      // probes (RptConf.BIG_BUILD_MAX_BF_ITEMS = 32M items → 256Mbit at
+      // Spark's 8 bits/item)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        "33554432")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "268435456")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted in
       // loadTables (Spark has no nanosecond timestamp type)

@@ -25,7 +25,7 @@ object StreamBench {
   private case class OpResult(
       name: String, batches: Int, rows: Long, totalTrigMs: Long,
       addBatchMs: Long, commitMs: Long,
-      stateRowsMax: Long, stateMemMax: Long) {
+      stateRowsMax: Long, stateMemMax: Long, stateCurMemMax: Long) {
     def rowsPerSec: Double =
       if (totalTrigMs <= 0) 0.0 else rows * 1000.0 / totalTrigMs
     def commitPerBatch: Double =
@@ -165,10 +165,10 @@ object StreamBench {
 
     println(f"${"op"}%-22s ${"batches"}%8s ${"rows"}%12s ${"rows/sec"}%12s ${"commit ms/batch"}%16s ${"state rows"}%12s ${"state MB"}%9s")
     results.foreach { r =>
-      println(f"${r.name}%-22s ${r.batches}%8d ${r.rows}%,12d ${r.rowsPerSec}%,12.0f ${r.commitPerBatch}%16.1f ${r.stateRowsMax}%,12d ${r.stateMemMax / 1048576.0}%9.1f")
+      println(f"${r.name}%-22s ${r.batches}%8d ${r.rows}%,12d ${r.rowsPerSec}%,12.0f ${r.commitPerBatch}%16.1f ${r.stateRowsMax}%,12d ${math.max(r.stateMemMax, r.stateCurMemMax) / 1048576.0}%9.1f")
     }
     val qJson = results.map { r =>
-      f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f,"state_rows_max":${r.stateRowsMax},"state_mem_max":${r.stateMemMax}}"""
+      f""""${r.name}":{"batches":${r.batches},"rows":${r.rows},"rows_per_sec":${r.rowsPerSec}%.1f,"trig_ms":${r.totalTrigMs},"add_batch_ms":${r.addBatchMs},"commit_ms":${r.commitMs},"commit_ms_per_batch":${r.commitPerBatch}%.1f,"state_rows_max":${r.stateRowsMax},"state_mem_max":${r.stateMemMax},"state_cur_mem_max":${r.stateCurMemMax}}"""
     }.mkString(",")
     println(s"""STREAMBENCH_JSON {"sf":"$sfDir","files_per_op":$nBatches,"shuffle_partitions":8,"store":"$store","key_mult":$keyMult,"unique_users":$uniqueUsers,"ops":{$qJson}}""")
     spark.stop()
@@ -197,7 +197,18 @@ object StreamBench {
         stateRowsMax = (0L +: progress.flatMap(
           _.stateOperators.map(_.numRowsTotal))).max,
         stateMemMax = (0L +: progress.flatMap(
-          _.stateOperators.map(_.memoryUsedBytes))).max)
+          _.stateOperators.map(_.memoryUsedBytes))).max,
+        // `memoryUsedBytes` on the default store is the size of the
+        // provider's retained-VERSION cache (`loadedMaps`), which is
+        // legitimately empty when no old versions are retained at metric
+        // time — the earlier sf100-sequence runs reported 640 B (8
+        // partitions x empty TreeMap) for half-GB state. The custom metric
+        // `stateOnCurrentVersionSizeBytes` is the CURRENT committed map's
+        // estimate, the number capacity planning actually needs; RocksDB
+        // reports real managed memory in both.
+        stateCurMemMax = (0L +: progress.flatMap(_.stateOperators.map(so =>
+          Option(so.customMetrics.get("stateOnCurrentVersionSizeBytes"))
+            .map(_.longValue).getOrElse(0L)))).max)
     } finally {
       query.stop()
       spark.catalog.dropTempView(sink)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.internal.SQLConf
 
 /**
  * Robust Predicate Transfer as a Catalyst rule.
@@ -345,6 +346,17 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val minProbeRows = RptConf.minProbeRows(conf).toDouble
     val maxBuildRows = RptConf.maxBuildRows(conf).toDouble
     val buildProbeRatio = RptConf.minBuildProbeRatio(conf)
+    // probe-relative admission (RptConf.BIG_BUILD_PROBE_FRACTION): the
+    // absolute cap is the unconditional floor; a bigger build is admitted
+    // iff the probe dwarfs it, because the probe amortizes the second
+    // build scan and the bigger filter. Restores the sf10 q27 1.73× win
+    // at sf100, where the absolute cap alone gated every strong reducer
+    // and left the query paying probe overhead for nothing (0.87×).
+    val bigBuildFraction = RptConf.bigBuildProbeFraction(conf)
+    def effMaxBuildRows(probeId: Int): Double =
+      if (bigBuildFraction <= 0) maxBuildRows
+      else math.max(maxBuildRows,
+        graph.units(probeId).card * bigBuildFraction)
     val filteredOnly = RptConf.filteredBuildsOnly(conf)
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
@@ -574,7 +586,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           reducedBuild.semis.nonEmpty ||
             selectivelyFiltered(reducedBuild.unit.plan)
         } else selectivelyFiltered(cascadePlan)
-      val buildGated = graph.units(op.build).card > maxBuildRows ||
+      val buildGated =
+        graph.units(op.build).card > effMaxBuildRows(op.probe) ||
         (filteredOnly && !buildFiltered) || measuredUnselective(op.build)
       val gated = buildGated ||
         graph.units(op.probe).card < minProbeRows ||
@@ -631,7 +644,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
       // reductions riding through (semis are added only from filtered
       // builds). With no semis, a measured-weak filter means the embedded
       // view would be a near-no-op semi — gate it like the build.
-      val embedGated = graph.units(op.build).card > maxBuildRows ||
+      val embedGated =
+        graph.units(op.build).card > effMaxBuildRows(op.probe) ||
         (filteredOnly && !buildFiltered) ||
         (reducedBuild.semis.isEmpty && measuredUnselective(op.build))
       if (buildForm == "semijoin" && !embedGated &&
@@ -663,8 +677,21 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         if (withBf) {
           conds += BloomFilterMightContain(
             sharedScalarAgg("bf", {
+              // a build admitted past the absolute cap by the
+              // probe-relative path must size its filter to match, or the
+              // 4M-item default saturates it into a pass-through; clamp to
+              // the session's BloomFilterAggregate `require` caps (items,
+              // and bits at Spark's 8 bits/item default sizing)
+              val opMaxItems =
+                if (graph.units(op.build).card > maxBuildRows) {
+                  math.max(maxItems, math.min(
+                    RptConf.bigBuildMaxBfItems(conf),
+                    math.min(
+                      conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS),
+                      conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS) / 8)))
+                } else maxItems
               val est = estimatedItems(buildPlan,
-                graph.units(op.build), maxItems, defaultItems)
+                graph.units(op.build), opMaxItems, defaultItems)
               new BloomFilterAggregate(new XxHash64(op.buildKeys), est)
                 .toAggregateExpression()
             }, buildPlan, op.buildKeys, op.forward, op.build),

@@ -145,6 +145,33 @@ object RptConf {
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
   val MAX_BUILD_ROWS = "spark.graft.rpt.maxBuildRows"
+  /** Probe-relative extension of maxBuildRows: a build is also admitted
+   *  when build.card <= probe.card * thisFraction, because a probe that
+   *  dwarfs the build amortizes a bigger filter. The absolute cap alone
+   *  inverts at scale — at sf100 (600M-row fact) q27's strong reducers
+   *  (part `p_size<25` ~10M rows, ASIA customers ~3M) exceed the 8M cap,
+   *  so only the weak nation/region transfers fired and q27 measured
+   *  0.87× (on 131.6s vs off 114.6s): all probe overhead, no cut — while
+   *  the same query with the same caps was 1.73× at sf10 where those
+   *  builds are 10× smaller. The reference has no absolute cap at all:
+   *  its CREATE_BF materializes the build it was handed and resizes the
+   *  filter to true cardinality (physical_create_bf.cpp:352-419); the
+   *  cap exists here only because Spark's subquery build is a SECOND
+   *  scan. Making it probe-relative restores the reference's behavior
+   *  exactly where it pays. Admitted-over-absolute builds size their
+   *  bloom filter by BIG_BUILD_MAX_BF_ITEMS, not MAX_BF_ITEMS (a 10M-key
+   *  build in a 4M-item filter saturates to a pass-through). 0 disables
+   *  (absolute cap only). */
+  val BIG_BUILD_PROBE_FRACTION = "spark.graft.rpt.bigBuildProbeFraction"
+  /** Bloom-filter item cap for builds admitted through the probe-relative
+   *  path (see BIG_BUILD_PROBE_FRACTION). 32M items = 32MB at the 8
+   *  bits/key Spark sizes to — the torrent-broadcast class, paid only
+   *  when the probe is >= 8× bigger. GraftSession raises Spark's own
+   *  runtime.bloomFilter.maxNumItems/maxNumBits to match (the stock 4M /
+   *  64Mbit caps are hard `require`s in BloomFilterAggregate); the rule
+   *  still clamps to the live session values so a user lowering them
+   *  cannot trip the require. */
+  val BIG_BUILD_MAX_BF_ITEMS = "spark.graft.rpt.bigBuildMaxBfItems"
   /** Skip ops where build.card * ratio > probe.card. The reference's
    *  materializing CREATE_BF piggybacks the build on a scan the query
    *  performs anyway (physical_create_bf.cpp:201-242); Spark's subquery
@@ -388,6 +415,10 @@ object RptConf {
     conf.getConfString(FAIL_FAST, "false").toBoolean
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
+  def bigBuildProbeFraction(conf: SQLConf): Double =
+    conf.getConfString(BIG_BUILD_PROBE_FRACTION, "0.125").toDouble
+  def bigBuildMaxBfItems(conf: SQLConf): Long =
+    conf.getConfString(BIG_BUILD_MAX_BF_ITEMS, "33554432").toLong
   def minBuildProbeRatio(conf: SQLConf): Double =
     conf.getConfString(MIN_BUILD_PROBE_RATIO, "1.0").toDouble
   def maxBfItems(conf: SQLConf): Long =

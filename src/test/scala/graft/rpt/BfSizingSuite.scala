@@ -204,4 +204,49 @@ class BfSizingSuite extends SparkTestBase {
       assert(on === off)
     }
   }
+
+  test("probe-relative cap admits and correctly sizes over-absolute builds") {
+    // sf100 q27 regression (RPTBENCH_r13 part 2): with only the absolute
+    // maxBuildRows cap, every strong reducer of a fact-scale probe is
+    // gated and the query pays probe overhead for nothing (0.87×). The
+    // probe-relative path must (a) admit a build bigger than the absolute
+    // cap when the probe dwarfs it and (b) size its filter past
+    // MAX_BF_ITEMS so it does not saturate into a pass-through.
+    // sf0.01 tables so cardinalities clear the 4096-item sizing floor.
+    val sf01 = "/root/testdata/sf0.01"
+    for (t <- Seq("lineitem", "orders"))
+      spark.read.parquet(s"$sf01/$t.parquet").createOrReplaceTempView(s"rel_$t")
+    val sql =
+      """SELECT count(*) AS n
+        |FROM rel_lineitem
+        |JOIN rel_orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < DATE '1999-01-01'""".stripMargin
+    val base = Seq(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PROBE_ROWS -> "0",
+      RptConf.MIN_EDGES -> "1",
+      RptConf.MAX_BUILD_ROWS -> "1000", // orders (~15k) is over-absolute
+      RptConf.MAX_BF_ITEMS -> "4096",
+      // footer keep-scaling would shrink the estimate back under the 4096
+      // sizing floor at this fixture size, hiding what this test pins
+      // (the CAP lift, not the estimate)
+      RptConf.FOOTER_KEEP_GATE -> "false")
+    withConf(base :+ (RptConf.BIG_BUILD_PROBE_FRACTION -> "0") : _*) {
+      assert(bfAggs(sql).isEmpty,
+        "over-absolute build transferred with the relative path disabled")
+    }
+    withConf(base :+ (RptConf.BIG_BUILD_PROBE_FRACTION -> "0.5") : _*) {
+      val aggs = bfAggs(sql) // lineitem (~60k) * 0.5 >= orders → admitted
+      assert(aggs.nonEmpty, "probe-relative path did not admit the build")
+      val est = aggs.map(estItems).max
+      assert(est > 4096L,
+        s"admitted big build still clamped to MAX_BF_ITEMS (est=$est)")
+      assert(est <= 4L * 15000L, s"big-build estimate unmoored: $est")
+      val on = fingerprint(spark.sql(sql))
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      assert(on === off)
+    }
+    for (t <- Seq("lineitem", "orders"))
+      spark.catalog.dropTempView(s"rel_$t")
+  }
 }

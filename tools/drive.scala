@@ -310,6 +310,40 @@ check(hcStats > BigInt(0) && hcStats != hcEstimate, s"honest checkpoint kept the
 check(hcCp.count() == 200000L, "honest checkpoint changed row count")
 check(hcCp.selectExpr("sum(j)").collect().head.getLong(0) == 2000L * 4950L, "honest checkpoint changed data")
 
-val driveExpected = 42
+// --- probe-relative big-build cap (round 13): a build past the absolute
+// maxBuildRows is admitted when the probe dwarfs it, its filter sized past
+// maxBloomFilterItems — and in a STOCK session (no GraftSession raising
+// Spark's runtime.bloomFilter require caps) the size must clamp under the
+// stock 4M-item cap instead of failing analysis.
+spark.conf.set("spark.graft.rpt.enabled", "true")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.graft.rpt.minEdges", "1")
+spark.conf.set("spark.graft.rpt.maxBuildRows", "1000")
+spark.conf.set("spark.graft.rpt.maxBloomFilterItems", "4096")
+spark.conf.set("spark.graft.rpt.footerKeepGate", "false")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+val rcSql = "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderdate < DATE '1999-01-01'"
+spark.conf.set("spark.graft.rpt.bigBuildProbeFraction", "0")
+val rcGatedProbes = "might_contain".r.findAllIn(spark.sql(rcSql).queryExecution.optimizedPlan.toString).length
+spark.conf.set("spark.graft.rpt.bigBuildProbeFraction", "0.5")
+val rcPlan = spark.sql(rcSql).queryExecution.optimizedPlan.toString
+val rcProbes = "might_contain".r.findAllIn(rcPlan).length
+val rcEst = "bloom_filter_agg\\(\\w+\\([^)]*\\), (\\d+)".r.findAllMatchIn(rcPlan).map(_.group(1).toLong).toSeq
+val rcRows = spark.sql(rcSql).collect().head.getLong(0)
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val rcRowsOff = spark.sql(rcSql).collect().head.getLong(0)
+spark.conf.set("spark.graft.rpt.enabled", "true")
+println(s"[drive] bigBuild gatedProbes=$rcGatedProbes relProbes=$rcProbes est=$rcEst rows=$rcRows/$rcRowsOff")
+check(rcGatedProbes == 0, "over-absolute build transferred with relative path off")
+check(rcProbes > 0, "probe-relative path did not admit the build")
+check(rcEst.exists(e => e > 4096L && e <= 4000000L), s"big-build filter not sized past maxBfItems within the stock require cap ($rcEst)")
+check(rcRows == rcRowsOff, "probe-relative transfer changed results")
+spark.conf.set("spark.graft.rpt.bigBuildProbeFraction", "0.125")
+spark.conf.set("spark.graft.rpt.maxBuildRows", "8000000")
+spark.conf.set("spark.graft.rpt.maxBloomFilterItems", "4000000")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.graft.rpt.footerKeepGate", "true")
+
+val driveExpected = 46
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
