@@ -34,6 +34,18 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
     // onlyInBroadcast group filter finds no broadcast to reuse): each one
     // is a no-op that logs a WARN per scan per execution
     ext.injectQueryStageOptimizerRule(_ => StripNoOpRuntimeFilters())
+    // the same residues arise WITHOUT AQE (PlanDynamicPruningFilters
+    // degrades identically), where query-stage rules never run; columnar
+    // pre-transition rules run in QueryExecution.preparations AFTER
+    // dynamic-pruning planning on both paths, so this catches the
+    // non-adaptive plans (e.g. the fuzz suites run AQE-off). The rule is
+    // idempotent — double application under AQE strips nothing twice.
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def preColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[
+            org.apache.spark.sql.execution.SparkPlan] =
+        StripNoOpRuntimeFilters()
+    })
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),

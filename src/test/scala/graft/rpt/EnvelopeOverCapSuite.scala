@@ -38,10 +38,15 @@ class EnvelopeOverCapSuite extends SparkTestBase {
     dir.deleteOnExit()
     val path = s"${dir.getAbsolutePath}/fact.parquet"
     import spark.implicits._
-    (0L until 40000L).map(i => (f"sk$i%05d", i % 7, s"p$i"))
-      .toDF("sk", "grp", "pay")
-      .repartitionByRange(4, $"sk").sortWithinPartitions("sk")
-      .write.mode("overwrite").parquet(path)
+    // exact-boundary files (see QuantizedOverCapSuite.factDir: sampled
+    // repartitionByRange bounds drift with leftover session conf)
+    for (f <- 0L until 4L) {
+      (f * 10000L until (f + 1) * 10000L)
+        .map(i => (f"sk$i%05d", i % 7, s"p$i"))
+        .toDF("sk", "grp", "pay")
+        .coalesce(1).sortWithinPartitions("sk")
+        .write.mode("append").parquet(path)
+    }
     path
   }
 

@@ -93,10 +93,17 @@ class QuantizedOverCapSuite extends SparkTestBase {
     dir.deleteOnExit()
     val path = s"${dir.getAbsolutePath}/fact.parquet"
     import spark.implicits._
-    // 4 files, each covering a disjoint 10k key range
-    (0L until 40000L).map(i => (i, i % 7, s"p$i")).toDF("k", "grp", "pay")
-      .repartitionByRange(4, $"k").sortWithinPartitions("k")
-      .write.mode("overwrite").parquet(path)
+    // 4 files, each covering a disjoint 10k key range. Written one exact
+    // range per append so the boundaries are DETERMINISTIC —
+    // repartitionByRange samples its bounds, which drift with whatever
+    // session conf an earlier suite left behind (this suite's straddle
+    // test pins file boundaries at exact multiples of 10k)
+    for (f <- 0L until 4L) {
+      (f * 10000L until (f + 1) * 10000L).map(i => (i, i % 7, s"p$i"))
+        .toDF("k", "grp", "pay")
+        .coalesce(1).sortWithinPartitions("k")
+        .write.mode("append").parquet(path)
+    }
     path
   }
 
