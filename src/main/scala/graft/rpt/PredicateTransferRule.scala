@@ -352,7 +352,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // build scan and the bigger filter. Restores the sf10 q27 1.73× win
     // at sf100, where the absolute cap alone gated every strong reducer
     // and left the query paying probe overhead for nothing (0.87×).
-    val bigBuildFraction = RptConf.bigBuildProbeFraction(conf)
+    // SHUFFLE REGIME ONLY, by measurement at sf100 (RPTBENCH_r13 part 2):
+    // with broadcast joins available the absolute cap never collapsed
+    // (q04 2.47×, q06 2.04× broadcast at sf100 WITHOUT this path), while
+    // admitting a 15M-row build under broadcast turned q06 0.49× — the
+    // reduction only saves hash-probe work there, which cannot amortize a
+    // fact-fraction build's second scan; under shuffle the same reduction
+    // saves exchanges and the trio recovers 2.70×/3.43×/1.83×.
+    val bigBuildFraction =
+      if (conf.autoBroadcastJoinThreshold > 0) 0.0
+      else RptConf.bigBuildProbeFraction(conf)
     def effMaxBuildRows(probeId: Int): Double =
       if (bigBuildFraction <= 0) maxBuildRows
       else math.max(maxBuildRows,
