@@ -137,6 +137,9 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val withMinmax = filterType != "bfOnly"
     val maxItems = RptConf.maxBfItems(conf)
     val defaultItems = RptConf.defaultBfItems(conf)
+    val adaptiveDrop = RptConf.adaptiveProbeDrop(conf)
+    val adaptiveSample = RptConf.adaptiveProbeSample(conf)
+    val adaptiveKeep = RptConf.adaptiveProbeKeep(conf)
     val literalBnds = RptConf.literalBounds(conf)
 
     val buildForm = RptConf.buildForm(conf)
@@ -684,7 +687,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           else cascadePlan
         val conds = mutable.ArrayBuffer[Expression]()
         if (withBf) {
-          conds += BloomFilterMightContain(
+          val bfProbe = BloomFilterMightContain(
             sharedScalarAgg("bf", {
               // a build admitted past the absolute cap by the
               // probe-relative path must size its filter to match, or the
@@ -705,6 +708,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
                 .toAggregateExpression()
             }, buildPlan, op.buildKeys, op.forward, op.build),
             new XxHash64(op.probeKeys))
+          // within-query drop (reference: SelectivityOptionalFilter wrap,
+          // physical_create_bf.cpp:326-328): each partition stops paying
+          // the hash+bloom lookup once it measures the probe unselective
+          conds += (if (adaptiveDrop)
+            AdaptiveProbe(bfProbe, adaptiveSample, adaptiveKeep)
+          else bfProbe)
         }
         if (withMinmax) {
           val pairs = op.buildKeys.zip(op.probeKeys)

@@ -367,6 +367,34 @@ object RptConf {
    *  re-planning (default 0.98). */
   val PROBE_FEEDBACK_KEEP = "spark.graft.rpt.probeFeedbackKeepThreshold"
 
+  /** WITHIN-query probe drop — the direct analog of the reference wrapping
+   *  its pushed BF filters in `SelectivityOptionalFilter(1, 1000000)`
+   *  (physical_create_bf.cpp:326-328): each partition samples its own
+   *  spliced bloom probe and, once [[ADAPTIVE_PROBE_SAMPLE]] rows measured
+   *  a keep-rate ≥ [[ADAPTIVE_PROBE_KEEP]], stops evaluating it
+   *  (pass-through; superset-safe, so results are unchanged — see
+   *  [[AdaptiveProbe]]). Complements [[PROBE_FEEDBACK]], which can only
+   *  help the NEXT planning of the same shape; this recovers most of an
+   *  unselective probe's cost on the first run. Partitions smaller than
+   *  the sample never disable, so small-SF runs are byte-identical.
+   *  Default true (the reference wraps unconditionally): measured by
+   *  `tools.AdaptiveDropProbe` — an unpriceable keep-all build costs the
+   *  bare probe 9–37% (sf10/sf1), the drop recovers 30–100% of that
+   *  penalty depending on partition row count, and a selective probe is
+   *  unaffected (the sampling counters stop at the window edge). */
+  val ADAPTIVE_PROBE = "spark.graft.rpt.adaptiveProbeDrop"
+  /** Rows each partition samples before the keep-rate check. The
+   *  reference samples 1M rows PER SCAN; this sample is PER PARTITION,
+   *  and Spark splits a scan into `totalBytes / defaultParallelism`-sized
+   *  partitions that are often well under 1M rows — a 1M per-partition
+   *  sample would never complete there. 64k estimates a 98% keep-rate
+   *  within ±0.3% and leaves the rest of the partition's savings on the
+   *  table at every realistic partition size (default 65536). */
+  val ADAPTIVE_PROBE_SAMPLE = "spark.graft.rpt.adaptiveProbeSampleRows"
+  /** Keep-rate at or above which the sampled probe latches off
+   *  (default 0.98, matching [[PROBE_FEEDBACK_KEEP]]). */
+  val ADAPTIVE_PROBE_KEEP = "spark.graft.rpt.adaptiveProbeKeepThreshold"
+
   /** Accept both camelCase and the reference's snake_case spellings
    *  (`bf_only` == `bfOnly`); unknown values raise rather than silently
    *  falling through to another mode. */
@@ -453,4 +481,10 @@ object RptConf {
     conf.getConfString(PROBE_FEEDBACK, "false").toBoolean
   def probeFeedbackKeep(conf: SQLConf): Double =
     conf.getConfString(PROBE_FEEDBACK_KEEP, "0.98").toDouble
+  def adaptiveProbeDrop(conf: SQLConf): Boolean =
+    conf.getConfString(ADAPTIVE_PROBE, "true").toBoolean
+  def adaptiveProbeSample(conf: SQLConf): Long =
+    conf.getConfString(ADAPTIVE_PROBE_SAMPLE, "65536").toLong
+  def adaptiveProbeKeep(conf: SQLConf): Double =
+    conf.getConfString(ADAPTIVE_PROBE_KEEP, "0.98").toDouble
 }

@@ -1,0 +1,145 @@
+package graft.rpt
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Scripted predicate that counts how often it is evaluated — lets the
+ *  tests observe exactly when [[AdaptiveProbe]] stops consulting its
+ *  child. */
+case class ScriptedPred(results: Array[java.lang.Boolean])
+  extends LeafExpression with Predicate with CodegenFallback {
+  var calls: Int = 0
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def eval(input: InternalRow): Any = {
+    val v = results(calls % results.length)
+    calls += 1
+    v
+  }
+}
+
+/**
+ * Within-query probe drop (reference analog: the `SelectivityOptionalFilter
+ * (1, 1000000)` wrap around pushed BF scan filters,
+ * physical_create_bf.cpp:326-328): a partition that measures its spliced
+ * bloom probe unselective stops evaluating it mid-query; results are
+ * unchanged because the probe is superset-safe.
+ */
+class AdaptiveProbeSuite extends SparkTestBase {
+
+  private def evalN(p: Expression, n: Int): Seq[Any] =
+    (1 to n).map(_ => p.eval(InternalRow.empty))
+
+  test("unselective child latches off at the sample boundary") {
+    val child = ScriptedPred(Array(java.lang.Boolean.TRUE))
+    val probe = AdaptiveProbe(child, sampleRows = 10, keepThreshold = 0.9)
+    val before = AdaptiveProbe.disables
+    val out = evalN(probe, 100)
+    assert(out.forall(_ == true))
+    assert(child.calls == 10,
+      s"child must stop being evaluated after the 10-row sample, saw ${child.calls}")
+    assert(AdaptiveProbe.disables == before + 1)
+  }
+
+  test("selective child is never dropped") {
+    val child =
+      ScriptedPred(Array(java.lang.Boolean.TRUE, java.lang.Boolean.FALSE))
+    val probe = AdaptiveProbe(child, sampleRows = 10, keepThreshold = 0.9)
+    val out = evalN(probe, 100)
+    assert(child.calls == 100, "a paying probe must keep evaluating")
+    assert(out.count(_ == true) == 50 && out.count(_ == false) == 50)
+  }
+
+  test("null results keep drop semantics while sampling and count as drops") {
+    val child = ScriptedPred(Array(null))
+    val strict = AdaptiveProbe(child, sampleRows = 10, keepThreshold = 0.9)
+    val out = evalN(strict, 100)
+    assert(out.forall(_ == null), "pre-disable nulls must stay null (drop)")
+    assert(child.calls == 100,
+      "all-null keeps nothing — far below 0.9, must never disable")
+  }
+
+  test("partition smaller than the sample behaves byte-identically") {
+    val child = ScriptedPred(Array(java.lang.Boolean.TRUE))
+    val probe = AdaptiveProbe(child, sampleRows = 1000, keepThreshold = 0.0)
+    evalN(probe, 999)
+    assert(child.calls == 999, "no disable before the sample completes")
+  }
+
+  // --- end-to-end through the rule, whole-stage codegen path ---
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_adapt_").toFile
+    d.deleteOnExit()
+    import spark.implicits._
+    spark.range(0, 40000)
+      .selectExpr("id as k", "cast(id % 7 as long) as grp")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/fact.parquet")
+    // covers EVERY fact key → probe keep-rate 1.0, the drop case
+    spark.range(0, 40000).selectExpr("id as dk", "'keep' as tag")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/dimall.parquet")
+    // covers three keys → selective, must not change results either way
+    Seq((100L, "keep"), (200L, "keep"), (300L, "drop")).toDF("dk", "tag")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/dimfew.parquet")
+    Seq.tabulate(7)(i => (i.toLong, s"g$i")).toDF("gk", "gname")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/grp.parquet")
+    d.getAbsolutePath
+  }
+
+  // two edges (the rule bails at minEdges <= 1)
+  private def query(dim: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(s"$dir/fact.parquet")
+    val d = spark.read.parquet(s"$dir/$dim.parquet").where("tag = 'keep'")
+    val grp = spark.read.parquet(s"$dir/grp.parquet")
+    fact.join(d, $"k" === $"dk").join(grp, $"grp" === $"gk")
+      .groupBy($"gname").count()
+  }
+
+  private val adaptiveOn = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    RptConf.ENABLED -> "true",
+    RptConf.FILTERED_BUILDS_ONLY -> "false",
+    RptConf.ADAPTIVE_PROBE -> "true",
+    RptConf.ADAPTIVE_PROBE_SAMPLE -> "64")
+
+  for (dim <- Seq("dimall", "dimfew")) {
+    test(s"end-to-end on $dim: rule-on+drop ≡ rule-off, probe wrapped") {
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(query(dim)))
+      val (on, wrapped, disables) = withConf(adaptiveOn: _*) {
+        val df = query(dim)
+        val plan = df.queryExecution.optimizedPlan.toString
+        val before = AdaptiveProbe.disables
+        val fp = fingerprint(df)
+        (fp, plan.contains("graft_adaptive_probe"),
+          AdaptiveProbe.disables - before)
+      }
+      assert(off == on, s"$dim results diverged under adaptive drop")
+      assert(wrapped, s"$dim probe was not wrapped in AdaptiveProbe")
+      if (dim == "dimall") {
+        assert(disables > 0,
+          "the all-keys build keeps 100% — partitions must latch off")
+      }
+    }
+  }
+
+  test("on by default (the reference wraps unconditionally); opt-out works") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false") {
+      val plan = query("dimfew").queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_adaptive_probe"))
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false",
+        RptConf.ADAPTIVE_PROBE -> "false") {
+      val plan = query("dimfew").queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"))
+      assert(!plan.contains("graft_adaptive_probe"))
+    }
+  }
+}

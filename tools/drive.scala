@@ -344,6 +344,37 @@ spark.conf.set("spark.graft.rpt.maxBloomFilterItems", "4000000")
 spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
 spark.conf.set("spark.graft.rpt.footerKeepGate", "true")
 
-val driveExpected = 46
+// --- within-query adaptive probe drop (round 13): every spliced
+// might_contain ships wrapped in graft_adaptive_probe by default (the
+// reference's SelectivityOptionalFilter analog); a partition that measures
+// the probe unselective latches it off mid-query without changing results.
+spark.conf.set("spark.graft.rpt.enabled", "true")
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+val adSql = "SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_orderpriority LIKE '%-%'"
+val adPlanDefault = spark.sql(adSql).queryExecution.optimizedPlan.toString
+check(adPlanDefault.contains("graft_adaptive_probe"), "adaptive drop not on by default")
+spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "false")
+val adPlanOff = spark.sql(adSql).queryExecution.optimizedPlan.toString
+check(adPlanOff.contains("might_contain") && !adPlanOff.contains("graft_adaptive_probe"), "adaptive opt-out left the wrapper in the plan")
+spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "true")
+spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "64")
+graft.rpt.AdaptiveProbe.resetDisables()
+val adOn = spark.sql(adSql).collect().toSeq
+val adDisables = graft.rpt.AdaptiveProbe.disables
+spark.conf.set("spark.graft.rpt.enabled", "false")
+val adOff = spark.sql(adSql).collect().toSeq
+spark.conf.set("spark.graft.rpt.enabled", "true")
+println(s"[drive] adaptiveDrop disables=$adDisables resultsEqual=${adOn == adOff}")
+check(adOn == adOff, "adaptive drop changed results")
+check(adDisables > 0, "keep-all probe never latched off at a 64-row sample")
+graft.rpt.AdaptiveProbe.resetDisables()
+val adSel = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000").collect()
+check(graft.rpt.AdaptiveProbe.disables == 0, "selective probe was dropped")
+spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "65536")
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+val driveExpected = 51
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
