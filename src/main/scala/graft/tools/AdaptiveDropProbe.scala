@@ -40,15 +40,27 @@ object AdaptiveDropProbe {
       .collect()(0).getDouble(0)
 
     // two edges (the rule bails at minEdges <= 1); the filtered table's
-    // build probes the next fact up the chain
+    // build probes the next fact up the chain. LIGHT=1 swaps the lineitem
+    // hub for an orders hub (orders⋈customer⋈nation) — at sf100 the
+    // lineitem form accumulates too much shuffle for a single JVM (sf100
+    // shuffle files are reclaimed at JVM exit only), and the weak probe
+    // under test lands on the orders scan either way.
+    val light = sys.env.get("SPARK_GRAFT_ADAPT_LIGHT").contains("1")
     def q(table: String, pred: String): org.apache.spark.sql.DataFrame = {
-      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val c = spark.read.parquet(s"$sfDir/customer.parquet")
       val o = if (table == "orders") orders.where(pred) else orders
       val cf = if (table == "customer") c.where(pred) else c
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(cf, o("o_custkey") === cf("c_custkey"))
-        .selectExpr("sum(l_extendedprice) as s", "count(*) as n")
+      if (light) {
+        val n = spark.read.parquet(s"$sfDir/nation.parquet")
+        o.join(cf, o("o_custkey") === cf("c_custkey"))
+          .join(n, cf("c_nationkey") === n("n_nationkey"))
+          .selectExpr("sum(o_totalprice) as s", "count(*) as n")
+      } else {
+        val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(cf, o("o_custkey") === cf("c_custkey"))
+          .selectExpr("sum(l_extendedprice) as s", "count(*) as n")
+      }
     }
 
     // the weak predicate must be one footer stats can NOT price, or the
@@ -65,9 +77,13 @@ object AdaptiveDropProbe {
       if (spark.read.parquet(s"$sfDir/orders.parquet").count() > 8000000L)
         ("customer", "length(c_mktsegment) > 3")
       else ("orders", "o_orderpriority LIKE '%-%'")
+    // SPARK_GRAFT_ADAPT_REGIMES=weak limits the sweep (sf100 disk budget)
+    val regimeFilter = sys.env.get("SPARK_GRAFT_ADAPT_REGIMES")
+      .map(_.split(",").map(_.trim).toSet)
     val regimes = Seq(
       "weak" -> (weakTable, weakPred),
       "strong" -> (("orders", s"o_totalprice > $priceCut")))
+      .filter { case (n, _) => regimeFilter.forall(_.contains(n)) }
 
     val configs = Seq(
       "off" -> Seq(RptConf.ENABLED -> "false"),
@@ -108,7 +124,13 @@ object AdaptiveDropProbe {
             val t0 = System.nanoTime()
             val rows = q(wtable, pred).collect()
             val sec = (System.nanoTime() - t0) / 1e9
-            results(cname) = rows.mkString
+            // double sums are order-dependent (the drop legitimately
+            // changes partial-agg row order); compare at 9 sig digits
+            results(cname) = rows.map(r => (0 until r.length).map {
+              case i if r.get(i).isInstanceOf[Double] =>
+                "%.8e".format(r.getDouble(i))
+              case i => String.valueOf(r.get(i))
+            }.mkString(",")).mkString(";")
             if (sec < best) best = sec
             disables = math.max(disables, AdaptiveProbe.disables)
           }
