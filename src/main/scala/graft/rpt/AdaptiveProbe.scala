@@ -28,10 +28,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
  *
  * State is per-instance: under whole-stage codegen the counters are
  * mutable fields of the per-partition generated class; interpreted, each
- * task deserializes its own expression tree. The decision is checked once,
- * exactly at `seen == sampleRows` (the reference's single 1M-row sample),
- * so a partition smaller than the sample never disables and behaves
- * byte-identically to the bare probe.
+ * task deserializes its own expression tree. Were an interpreted instance
+ * ever shared across threads, a counter race could only perturb WHEN the
+ * latch fires — both branches (keep evaluating / pass-through) are
+ * individually correct, so the race is benign by construction. The
+ * decision is checked once, exactly at `seen == sampleRows` (the
+ * reference's single 1M-row sample), so a partition smaller than the
+ * sample never disables and behaves byte-identically to the bare probe.
  */
 case class AdaptiveProbe(
     child: Expression,

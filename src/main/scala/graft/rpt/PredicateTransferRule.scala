@@ -710,7 +710,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             new XxHash64(op.probeKeys))
           // within-query drop (reference: SelectivityOptionalFilter wrap,
           // physical_create_bf.cpp:326-328): each partition stops paying
-          // the hash+bloom lookup once it measures the probe unselective
+          // the hash+bloom lookup once it measures the probe unselective.
+          // The wrapped cond also rides into `cur` (cascade snapshots /
+          // ride-through build views): a latch inside a BUILD subquery
+          // passes extra keys into that build, which can only raise the
+          // downstream filter's FPR past its sized estimate — superset in
+          // every position, never a lost row
           conds += (if (adaptiveDrop)
             AdaptiveProbe(bfProbe, adaptiveSample, adaptiveKeep)
           else bfProbe)
