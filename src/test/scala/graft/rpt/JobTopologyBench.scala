@@ -1,0 +1,76 @@
+package graft.rpt
+
+/**
+ * Rule-on/off differential over the 33 JOB topologies of
+ * [[JobTopologies]] — the measured counterpart of [[JobTopologySuite]]'s
+ * correctness pin, at a scale where the transfer pays (default
+ * `benchdata/sf1`). Shipping defaults, shuffle regime
+ * (`autoBroadcastJoinThreshold=-1`, the reference's protocol analog),
+ * min-of-N wall seconds per config, results asserted identical (the
+ * global-MIN/count output is aggregation-order-independent, so exact
+ * compare is safe). One JSON line.
+ *
+ * Usage: sbt "Test/runMain graft.rpt.JobTopologyBench [runs]"
+ *        (GRAFT_JOB_SF overrides the fixture dir)
+ */
+object JobTopologyBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("GRAFT_JOB_SF", "/root/repo/benchdata/sf1")
+    val runs = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = graft.GraftSession.build(appName = "graft-job-topo-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val tbls = JobTopologies.tableNames
+      .map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+
+    // one warm pass over the widest shape: all 33 reuse the same 7
+    // tables, so page cache + codegen caches are hot before any window
+    spark.conf.set(RptConf.ENABLED, "false")
+    JobTopologies.build(JobTopologies.all.find(_.q == 29).get, tbls).collect()
+
+    def timed(t: JobTopologies.Topo): (Double, String) = {
+      var best = Double.MaxValue
+      var res = ""
+      for (_ <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val rows = JobTopologies.build(t, tbls).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        res = rows.mkString
+      }
+      (best, res)
+    }
+
+    val out = new StringBuilder
+    var rewritten = 0
+    val speedups = scala.collection.mutable.ArrayBuffer[Double]()
+    val perQ = scala.collection.mutable.LinkedHashMap[String, String]()
+    JobTopologies.all.foreach { t =>
+      spark.conf.set(RptConf.ENABLED, "false")
+      val (offSec, offRes) = timed(t)
+      spark.conf.set(RptConf.ENABLED, "true")
+      if (JobTopologies.build(t, tbls).queryExecution.optimizedPlan
+          .toString.contains("might_contain")) rewritten += 1
+      val (onSec, onRes) = timed(t)
+      require(offRes == onRes, s"q${t.q} results diverged: $onRes vs $offRes")
+      val sp = offSec / onSec
+      speedups += sp
+      perQ(s"q${t.q}") =
+        f""""q${t.q}":{"rel":${t.relations},"off":$offSec%.3f,"on":$onSec%.3f,"speedup":$sp%.3f}"""
+      // scalastyle:off println
+      println(f"[jobtopo] q${t.q}%-3d rel=${t.relations}%-3d off=$offSec%7.3f on=$onSec%7.3f  ${sp}%5.2fx")
+      // scalastyle:on println
+    }
+    val geomean = math.exp(speedups.map(math.log).sum / speedups.size)
+    val faster = speedups.count(_ >= 1.1)
+    val slower = speedups.count(_ <= 0.9)
+    out ++= f"""{"sf":"$sfDir","runs":$runs,"regime":"shuffle","rewritten":$rewritten,"geomean":$geomean%.3f,"faster":$faster,"slower":$slower,"same":${33 - faster - slower},"""
+    out ++= perQ.values.mkString("\"queries\":{", ",", "}}")
+    // scalastyle:off println
+    println(out.toString)
+    // scalastyle:on println
+    spark.stop()
+  }
+}
