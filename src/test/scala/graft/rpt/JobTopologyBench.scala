@@ -11,7 +11,10 @@ package graft.rpt
  * compare is safe). One JSON line.
  *
  * Usage: sbt "Test/runMain graft.rpt.JobTopologyBench [runs]"
- *        (GRAFT_JOB_SF overrides the fixture dir)
+ *        (GRAFT_JOB_SF overrides the fixture dir;
+ *         GRAFT_JOB_QUERIES=1,29,30 limits the families — the sf10
+ *         decade check runs the depth envelope plus a shallow control
+ *         instead of all 33 × 4 executions of 10× data)
  */
 object JobTopologyBench {
 
@@ -24,11 +27,17 @@ object JobTopologyBench {
 
     val tbls = JobTopologies.tableNames
       .map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+    val onlyQ = sys.env.get("GRAFT_JOB_QUERIES")
+      .map(_.split(",").map(_.trim.toInt).toSet)
+    val families = JobTopologies.all
+      .filter(t => onlyQ.forall(_.contains(t.q)))
 
-    // one warm pass over the widest shape: all 33 reuse the same 7
-    // tables, so page cache + codegen caches are hot before any window
+    // one warm pass over the first selected shape: every family reuses
+    // the same 7 tables, so page cache + codegen caches are hot before
+    // any timed window (an unwarmed first config pays cold I/O the
+    // second doesn't, inflating the differential)
     spark.conf.set(RptConf.ENABLED, "false")
-    JobTopologies.build(JobTopologies.all.find(_.q == 29).get, tbls).collect()
+    JobTopologies.build(families.head, tbls).collect()
 
     def timed(t: JobTopologies.Topo): (Double, String) = {
       var best = Double.MaxValue
@@ -47,7 +56,7 @@ object JobTopologyBench {
     var rewritten = 0
     val speedups = scala.collection.mutable.ArrayBuffer[Double]()
     val perQ = scala.collection.mutable.LinkedHashMap[String, String]()
-    JobTopologies.all.foreach { t =>
+    families.foreach { t =>
       spark.conf.set(RptConf.ENABLED, "false")
       val (offSec, offRes) = timed(t)
       spark.conf.set(RptConf.ENABLED, "true")
@@ -66,7 +75,7 @@ object JobTopologyBench {
     val geomean = math.exp(speedups.map(math.log).sum / speedups.size)
     val faster = speedups.count(_ >= 1.1)
     val slower = speedups.count(_ <= 0.9)
-    out ++= f"""{"sf":"$sfDir","runs":$runs,"regime":"shuffle","rewritten":$rewritten,"geomean":$geomean%.3f,"faster":$faster,"slower":$slower,"same":${33 - faster - slower},"""
+    out ++= f"""{"sf":"$sfDir","runs":$runs,"regime":"shuffle","rewritten":$rewritten,"geomean":$geomean%.3f,"faster":$faster,"slower":$slower,"same":${families.size - faster - slower},"""
     out ++= perQ.values.mkString("\"queries\":{", ",", "}}")
     // scalastyle:off println
     println(out.toString)
