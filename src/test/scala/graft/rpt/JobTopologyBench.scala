@@ -23,7 +23,13 @@ object JobTopologyBench {
     val runs = args.headOption.map(_.toInt).getOrElse(2)
     val spark = graft.GraftSession.build(appName = "graft-job-topo-bench")
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // shuffle regime by default (the reference's protocol analog);
+    // GRAFT_JOB_REGIME=broadcast keeps Spark's default threshold so AQE
+    // broadcast conversions stay in play
+    val regime = sys.env.getOrElse("GRAFT_JOB_REGIME", "shuffle")
+    if (regime == "shuffle") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
 
     val tbls = JobTopologies.tableNames
       .map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
@@ -75,7 +81,7 @@ object JobTopologyBench {
     val geomean = math.exp(speedups.map(math.log).sum / speedups.size)
     val faster = speedups.count(_ >= 1.1)
     val slower = speedups.count(_ <= 0.9)
-    out ++= f"""{"sf":"$sfDir","runs":$runs,"regime":"shuffle","rewritten":$rewritten,"geomean":$geomean%.3f,"faster":$faster,"slower":$slower,"same":${families.size - faster - slower},"""
+    out ++= f"""{"sf":"$sfDir","runs":$runs,"regime":"$regime","rewritten":$rewritten,"geomean":$geomean%.3f,"faster":$faster,"slower":$slower,"same":${families.size - faster - slower},"""
     out ++= perQ.values.mkString("\"queries\":{", ",", "}}")
     // scalastyle:off println
     println(out.toString)
