@@ -137,9 +137,6 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val withMinmax = filterType != "bfOnly"
     val maxItems = RptConf.maxBfItems(conf)
     val defaultItems = RptConf.defaultBfItems(conf)
-    val adaptiveDrop = RptConf.adaptiveProbeDrop(conf)
-    val adaptiveSample = RptConf.adaptiveProbeSample(conf)
-    val adaptiveKeep = RptConf.adaptiveProbeKeep(conf)
     val literalBnds = RptConf.literalBounds(conf)
 
     val buildForm = RptConf.buildForm(conf)
@@ -687,7 +684,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           else cascadePlan
         val conds = mutable.ArrayBuffer[Expression]()
         if (withBf) {
-          val bfProbe = BloomFilterMightContain(
+          conds += BloomFilterMightContain(
             sharedScalarAgg("bf", {
               // a build admitted past the absolute cap by the
               // probe-relative path must size its filter to match, or the
@@ -708,17 +705,10 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
                 .toAggregateExpression()
             }, buildPlan, op.buildKeys, op.forward, op.build),
             new XxHash64(op.probeKeys))
-          // within-query drop (reference: SelectivityOptionalFilter wrap,
-          // physical_create_bf.cpp:326-328): each partition stops paying
-          // the hash+bloom lookup once it measures the probe unselective.
-          // The wrapped cond also rides into `cur` (cascade snapshots /
-          // ride-through build views): a latch inside a BUILD subquery
-          // passes extra keys into that build, which can only raise the
-          // downstream filter's FPR past its sized estimate — superset in
-          // every position, never a lost row
-          conds += (if (adaptiveDrop)
-            AdaptiveProbe(bfProbe, adaptiveSample, adaptiveKeep)
-          else bfProbe)
+          // the within-query drop (reference: SelectivityOptionalFilter
+          // wrap, physical_create_bf.cpp:326-328) wraps this probe at
+          // PHYSICAL planning — see WrapAdaptiveProbes for why a logical
+          // wrap here measurably regressed deep plans
         }
         if (withMinmax) {
           val pairs = op.buildKeys.zip(op.probeKeys)

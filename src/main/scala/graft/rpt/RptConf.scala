@@ -377,11 +377,21 @@ object RptConf {
    *  help the NEXT planning of the same shape; this recovers most of an
    *  unselective probe's cost on the first run. Partitions smaller than
    *  the sample never disable, so small-SF runs are byte-identical.
-   *  Default true (the reference wraps unconditionally): measured by
-   *  `tools.AdaptiveDropProbe` — an unpriceable keep-all build costs the
-   *  bare probe 9–37% (sf10/sf1), the drop recovers 30–100% of that
-   *  penalty depending on partition row count, and a selective probe is
-   *  unaffected (the sampling counters stop at the window edge). */
+   *
+   *  OPT-IN (default false), unlike the reference's unconditional wrap —
+   *  a measured decision (RPTBENCH_r13 part 3): the insurance pays well
+   *  where it fires (an unpriceable keep-all build costs the bare probe
+   *  9–37%; the drop recovers 30–100% of that), but Spark's row-at-a-time
+   *  codegen prices the wrapper at ~2–3 ns per probe-row even when no
+   *  latch ever fires (zero latches measured on q35, yet rule-on pays
+   *  ~7%: 1.21× → 1.13× — the reference's per-vector check is ~free,
+   *  ours is per-row and never amortizes with scale). The default-on
+   *  planning-time keep-fraction gate already kills statically-priceable
+   *  weak builds for free; turn this on for workloads whose build
+   *  filters footers cannot price (LIKE / equality / computed). Wrapping
+   *  happens at PHYSICAL planning ([[WrapAdaptiveProbes]]) — a logical
+   *  wrap additionally duplicated every build subquery into the scan's
+   *  dataFilters (q35 measured 1.03×). */
   val ADAPTIVE_PROBE = "spark.graft.rpt.adaptiveProbeDrop"
   /** Rows each partition samples before the keep-rate check. The
    *  reference samples 1M rows PER SCAN; this sample is PER PARTITION,
@@ -482,7 +492,7 @@ object RptConf {
   def probeFeedbackKeep(conf: SQLConf): Double =
     conf.getConfString(PROBE_FEEDBACK_KEEP, "0.98").toDouble
   def adaptiveProbeDrop(conf: SQLConf): Boolean =
-    conf.getConfString(ADAPTIVE_PROBE, "true").toBoolean
+    conf.getConfString(ADAPTIVE_PROBE, "false").toBoolean
   def adaptiveProbeSample(conf: SQLConf): Long =
     conf.getConfString(ADAPTIVE_PROBE_SAMPLE, "65536").toLong
   def adaptiveProbeKeep(conf: SQLConf): Double =

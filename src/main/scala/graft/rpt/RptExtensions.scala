@@ -46,6 +46,19 @@ class RptExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.execution.SparkPlan] =
         StripNoOpRuntimeFilters()
     })
+    // within-query adaptive probe drop: wrap spliced might_contain probes
+    // at PHYSICAL planning (a logical wrap duplicated every build subquery
+    // into the scan's dataFilters — see WrapAdaptiveProbes scaladoc).
+    // Same dual-channel pattern as the strip rule: query-stage rule for
+    // AQE-compiled stages, columnar pre-transition for non-adaptive plans
+    // and subquery plans; wrap() is idempotent across both.
+    ext.injectQueryStageOptimizerRule(_ => WrapAdaptiveProbes())
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def preColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[
+            org.apache.spark.sql.execution.SparkPlan] =
+        WrapAdaptiveProbes()
+    })
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),

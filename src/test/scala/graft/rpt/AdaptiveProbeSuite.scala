@@ -111,16 +111,26 @@ class AdaptiveProbeSuite extends SparkTestBase {
   for (dim <- Seq("dimall", "dimfew")) {
     test(s"end-to-end on $dim: rule-on+drop ≡ rule-off, probe wrapped") {
       val off = withConf(RptConf.ENABLED -> "false")(fingerprint(query(dim)))
-      val (on, wrapped, disables) = withConf(adaptiveOn: _*) {
+      val (on, logical, executed, disables) = withConf(adaptiveOn: _*) {
         val df = query(dim)
-        val plan = df.queryExecution.optimizedPlan.toString
         val before = AdaptiveProbe.disables
+        // execute df ITSELF (fingerprint collects a derived frame, which
+        // would leave df's own AQE plan unexecuted and stage-less)
+        df.collect()
         val fp = fingerprint(df)
-        (fp, plan.contains("graft_adaptive_probe"),
+        // the wrap is PHYSICAL (WrapAdaptiveProbes): the logical plan must
+        // stay byte-identical to the bare probe (a logical wrap measurably
+        // regressed deep plans by duplicating build subqueries into scan
+        // dataFilters); the executed plan carries the wrapper
+        (fp, df.queryExecution.optimizedPlan.toString,
+          df.queryExecution.executedPlan.toString,
           AdaptiveProbe.disables - before)
       }
       assert(off == on, s"$dim results diverged under adaptive drop")
-      assert(wrapped, s"$dim probe was not wrapped in AdaptiveProbe")
+      assert(!logical.contains("graft_adaptive_probe"),
+        s"$dim probe wrapped in the LOGICAL plan — must be physical-only")
+      assert(executed.contains("graft_adaptive_probe"),
+        s"$dim executed plan does not carry the wrapper")
       if (dim == "dimall") {
         assert(disables > 0,
           "the all-keys build keeps 100% — partitions must latch off")
@@ -155,18 +165,23 @@ class AdaptiveProbeSuite extends SparkTestBase {
     ProbeFeedback.clear()
   }
 
-  test("on by default (the reference wraps unconditionally); opt-out works") {
+  test("opt-in (measured per-row tax, RPTBENCH_r13 part 3): bare by " +
+      "default, wrapped when enabled") {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
         RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false") {
-      val plan = query("dimfew").queryExecution.optimizedPlan.toString
-      assert(plan.contains("graft_adaptive_probe"))
+      val df = query("dimfew")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"))
+      assert(!plan.contains("graft_adaptive_probe"))
     }
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
         RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false",
-        RptConf.ADAPTIVE_PROBE -> "false") {
-      val plan = query("dimfew").queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain"))
-      assert(!plan.contains("graft_adaptive_probe"))
+        RptConf.ADAPTIVE_PROBE -> "true") {
+      val df = query("dimfew")
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft_adaptive_probe"))
     }
   }
 }

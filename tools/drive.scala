@@ -352,12 +352,19 @@ spark.conf.set("spark.graft.rpt.enabled", "true")
 spark.conf.set("spark.graft.rpt.minProbeRows", "0")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 val adSql = "SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_orderpriority LIKE '%-%'"
-val adPlanDefault = spark.sql(adSql).queryExecution.optimizedPlan.toString
-check(adPlanDefault.contains("graft_adaptive_probe"), "adaptive drop not on by default")
-spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "false")
-val adPlanOff = spark.sql(adSql).queryExecution.optimizedPlan.toString
-check(adPlanOff.contains("might_contain") && !adPlanOff.contains("graft_adaptive_probe"), "adaptive opt-out left the wrapper in the plan")
+// opt-in (measured per-row tax, RPTBENCH_r13 part 3): bare by default
+val adDfDefault = spark.sql(adSql)
+adDfDefault.collect()
+val adPlanDefault = adDfDefault.queryExecution.executedPlan.toString
+check(adPlanDefault.contains("might_contain") && !adPlanDefault.contains("graft_adaptive_probe"), "adaptive drop must be opt-in (default plans bare)")
+// enabled: the wrap is PHYSICAL (WrapAdaptiveProbes) — the logical plan
+// stays bare (a logical wrap duplicated build subqueries into scan
+// dataFilters), the executed plan carries the wrapper
 spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "true")
+val adDfOn = spark.sql(adSql)
+adDfOn.collect()
+check(!adDfOn.queryExecution.optimizedPlan.toString.contains("graft_adaptive_probe"), "adaptive wrapper leaked into the logical plan")
+check(adDfOn.queryExecution.executedPlan.toString.contains("graft_adaptive_probe"), "enabled drop missing from the executed plan")
 spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "64")
 graft.rpt.AdaptiveProbe.resetDisables()
 val adOn = spark.sql(adSql).collect().toSeq
@@ -371,10 +378,11 @@ check(adDisables > 0, "keep-all probe never latched off at a 64-row sample")
 graft.rpt.AdaptiveProbe.resetDisables()
 val adSel = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000").collect()
 check(graft.rpt.AdaptiveProbe.disables == 0, "selective probe was dropped")
+spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "false")
 spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "65536")
 spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
-val driveExpected = 51
+val driveExpected = 52
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
