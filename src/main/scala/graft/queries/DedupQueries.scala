@@ -464,20 +464,31 @@ object DedupQueries {
     // a benchmark leaking into a dump). Reuses the d04 LSH pair graph —
     // the same shared band table and streamed expansion — then
     // attributes each candidate pair to its unordered source pair. The
-    // doc_id->source lookup is BROADCAST: the pair stream is unbounded
-    // on dup-heavy corpora (quadratic in clique size) and must never be
-    // shuffled, while the (doc_id, source) projection is ~16 bytes/doc —
-    // broadcastable far past this box's scale (a 10^10-doc deployment
-    // swaps this for a bucketed band table + map-side lookup instead).
+    // doc_id->source lookup is BROADCAST when the corpus row count says
+    // the ~16 bytes/doc projection fits an executor (footer-stat guard,
+    // 256 MB cap ≈ 10M docs): the pair stream is unbounded on dup-heavy
+    // corpora (quadratic in clique size) and should not be shuffled. Past
+    // the cap — or when the count is unknowable — forcing the hint would
+    // trade a planner decision for a driver/executor OOM, so the hint is
+    // dropped and the planner picks the shuffle-join shape.
     QueryDef("d11_source_contamination",
       (spark, sfDir) => {
         views(spark, sfDir)
         import org.apache.spark.sql.functions.{broadcast, expr}
         val docs = spark.table("documents")
+        val estBytes = docs.queryExecution.optimizedPlan
+          .collectFirst {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr
+          }
+          .flatMap(graft.rpt.ParquetRowCounts.rowCount)
+          .map(_ * 24L) // doc_id + short source string, encoded
+        val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (estBytes.exists(_ <= 256L * 1024 * 1024)) broadcast else identity
         PairGraph.pairs(spark, sfDir)
-          .join(broadcast(
+          .join(hint(
             docs.selectExpr("doc_id AS doc_a", "source AS src_a")), "doc_a")
-          .join(broadcast(
+          .join(hint(
             docs.selectExpr("doc_id AS doc_b", "source AS src_b")), "doc_b")
           .selectExpr(
             "least(src_a, src_b) AS source_a",

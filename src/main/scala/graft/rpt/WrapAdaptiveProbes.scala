@@ -1,6 +1,6 @@
 package graft.rpt
 
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
 
@@ -26,25 +26,37 @@ import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
  * AQE query-stage optimizer rule (stage-compiled filters) and as a
  * columnar pre-transition rule (non-adaptive plans, and the physical
  * plans of build subqueries — whose own probes are equally latchable).
- * Double application is idempotent: `wrap` never descends into an
- * existing [[AdaptiveProbe]].
+ * Double application is idempotent: an existing [[AdaptiveProbe]] conjunct
+ * is left alone.
+ *
+ * Only TOP-LEVEL And-conjuncts whose root is `might_contain` are wrapped.
+ * The superset-safety argument ("latching the probe to `true` can only
+ * widen the filter's output") holds solely at conjunct position — a
+ * `might_contain` under `NOT` or `OR` (reachable because the function is
+ * SQL-registered, so a user can write `NOT might_contain(...)`) would
+ * silently change results once a partition latched off. Nested occurrences
+ * are therefore left bare.
  */
-case class WrapAdaptiveProbes() extends Rule[SparkPlan] {
+case class WrapAdaptiveProbes() extends Rule[SparkPlan] with PredicateHelper {
 
   override def apply(plan: SparkPlan): SparkPlan = {
     if (!RptConf.adaptiveProbeDrop(conf)) return plan
     val sample = RptConf.adaptiveProbeSample(conf)
     val keep = RptConf.adaptiveProbeKeep(conf)
-    def wrap(e: Expression): Expression = e match {
+    def wrapConjunct(e: Expression): Expression = e match {
       case a: AdaptiveProbe => a
       case b: BloomFilterMightContain => AdaptiveProbe(b, sample, keep)
-      case other => other.mapChildren(wrap)
+      case other => other
     }
     plan.transform {
       case f: FilterExec
-          if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) =>
-        val wrapped = wrap(f.condition)
-        if (wrapped.fastEquals(f.condition)) f else f.copy(condition = wrapped)
+          if splitConjunctivePredicates(f.condition)
+            .exists(_.isInstanceOf[BloomFilterMightContain]) =>
+        val conjuncts = splitConjunctivePredicates(f.condition)
+        val wrapped = conjuncts.map(wrapConjunct)
+        if (wrapped.zip(conjuncts).forall { case (w, c) => w.fastEquals(c) }) f
+        else f.copy(condition =
+          wrapped.reduce(org.apache.spark.sql.catalyst.expressions.And))
     }
   }
 }

@@ -202,6 +202,8 @@ object V2Probe {
       }
       val savedCap =
         spark.conf.get("spark.graft.rpt.v2ScanFilterMaxBuildRows")
+      val savedFallback =
+        spark.conf.getOption("spark.graft.rpt.rangeSummaryFallback")
       // force over-cap so the envelope is the only in-scan channel
       spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", "1000")
       spark.conf.set("spark.graft.rpt.rangeSummaryFallback", "false")
@@ -223,6 +225,10 @@ object V2Probe {
         .map { case (b, a) => s""","bytes_before":$b,"bytes_after":$a""" }
         .getOrElse("")
       spark.conf.set("spark.graft.rpt.v2ScanFilterMaxBuildRows", savedCap)
+      savedFallback match {
+        case Some(v) => spark.conf.set("spark.graft.rpt.rangeSummaryFallback", v)
+        case None => spark.conf.unset("spark.graft.rpt.rangeSummaryFallback")
+      }
       val rows = results.values.map(_._1).toSet
       require(rows.size == 1, s"strkey: configs disagree: $results")
       out.append(s""","strkey":{"rows":${rows.head},$pruneE$bytesE,""")

@@ -32,10 +32,17 @@ import org.apache.spark.sql.execution.LogicalRDD
  */
 object HonestCheckpoint {
 
+  /** Test hook: lets the suite simulate a Spark upgrade that removed the
+    * reflected field (degradation must be lost constraints, not a failed
+    * checkpoint). Production value is the Spark 4.1 field name. */
+  private[graft] var constraintsFieldName: String = "originConstraints"
+
   /** `df.localCheckpoint(eager = true)` whose plan stats are the
     * materialized block-manager size instead of the pre-checkpoint
     * estimate. Falls back to the plain checkpoint if the storage info
-    * is unavailable (never worse than the status quo). */
+    * is unavailable, or if the Spark-version-fragile rebuild (reflective
+    * `originConstraints` read + positional `LogicalRDD` ctor) fails on
+    * an upgraded Spark (never worse than the status quo). */
   def localCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(eager = true)
     cp.queryExecution.analyzed match {
@@ -43,25 +50,37 @@ object HonestCheckpoint {
         val sc = cp.sparkSession.sparkContext
         sc.getRDDStorageInfo.find(_.id == lr.rdd.id) match {
           case Some(info) if info.memSize + info.diskSize > 0 =>
-            // originConstraints lives in the (inaccessible) second ctor
-            // param list; read it reflectively so the rebuilt node keeps
-            // the checkpointed plan's inferred constraints
-            val constraints = {
-              val f = classOf[LogicalRDD].getDeclaredField("originConstraints")
-              f.setAccessible(true)
-              f.get(lr).asInstanceOf[Option[ExpressionSet]]
-            }
-            val honest = new LogicalRDD(lr.output, lr.rdd,
-              lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
-              lr.stream)(
-              cp.sparkSession.asInstanceOf[ClassicSparkSession],
-              Some(Statistics(sizeInBytes = info.memSize + info.diskSize)),
-              constraints)
-            ClassicDataset.ofRows(
-              cp.sparkSession.asInstanceOf[ClassicSparkSession], honest)
+            rebuildWithStats(cp, lr, info.memSize + info.diskSize)
+              .getOrElse(cp)
           case _ => cp
         }
       case _ => cp
     }
   }
+
+  /** The version-fragile part, isolated: any reflective or constructor
+    * mismatch on a future Spark degrades to `None` (caller keeps the plain
+    * checkpoint — lost constraints/stats, not a failed query). */
+  private[graft] def rebuildWithStats(
+      cp: DataFrame, lr: LogicalRDD, measuredBytes: Long): Option[DataFrame] =
+    scala.util.Try {
+      // originConstraints lives in the (inaccessible) second ctor
+      // param list; read it reflectively so the rebuilt node keeps
+      // the checkpointed plan's inferred constraints. If the field is
+      // gone on a newer Spark, degrade to no constraints rather than
+      // failing the checkpoint.
+      val constraints = scala.util.Try {
+        val f = classOf[LogicalRDD].getDeclaredField(constraintsFieldName)
+        f.setAccessible(true)
+        f.get(lr).asInstanceOf[Option[ExpressionSet]]
+      }.getOrElse(None)
+      val honest = new LogicalRDD(lr.output, lr.rdd,
+        lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+        lr.stream)(
+        cp.sparkSession.asInstanceOf[ClassicSparkSession],
+        Some(Statistics(sizeInBytes = measuredBytes)),
+        constraints)
+      ClassicDataset.ofRows(
+        cp.sparkSession.asInstanceOf[ClassicSparkSession], honest)
+    }.toOption
 }

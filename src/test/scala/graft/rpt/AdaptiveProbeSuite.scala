@@ -165,6 +165,36 @@ class AdaptiveProbeSuite extends SparkTestBase {
     ProbeFeedback.clear()
   }
 
+  test("nested might_contain under NOT/OR stays bare; only conjunct-rooted " +
+      "probes wrap") {
+    import org.apache.spark.sql.catalyst.expressions.{And, BloomFilterMightContain, Literal, Not, Or}
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.types.BinaryType
+    withConf(RptConf.ADAPTIVE_PROBE -> "true") {
+      val scan = spark.range(1).queryExecution.sparkPlan
+      def bf() = BloomFilterMightContain(Literal(null, BinaryType), Literal(1L))
+      // one conjunct-rooted probe + one probe under NOT + one under OR:
+      // latching a negated/disjoined probe to `true` would NARROW or widen
+      // the filter unpredictably, so only the conjunct-rooted one may wrap
+      val cond = And(And(bf(), Not(bf())), Or(bf(), Literal(false)))
+      val out = WrapAdaptiveProbes()(FilterExec(cond, scan))
+        .asInstanceOf[FilterExec].condition
+      assert(out.collect { case a: AdaptiveProbe => a }.size == 1,
+        s"exactly the conjunct-rooted probe must wrap, got: $out")
+      assert(out.collect {
+        case n: Not if n.child.isInstanceOf[BloomFilterMightContain] => n
+      }.size == 1, "the NOT-guarded probe must stay bare")
+      assert(out.collect {
+        case o: Or if o.children.exists(_.isInstanceOf[BloomFilterMightContain]) => o
+      }.size == 1, "the OR-guarded probe must stay bare")
+      // a filter whose only probes are nested is left byte-identical
+      val notOnly = Not(bf())
+      val out2 = WrapAdaptiveProbes()(FilterExec(notOnly, scan))
+        .asInstanceOf[FilterExec].condition
+      assert(out2.fastEquals(notOnly), "NOT-only filter must be untouched")
+    }
+  }
+
   test("opt-in (measured per-row tax, RPTBENCH_r13 part 3): bare by " +
       "default, wrapped when enabled") {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
