@@ -198,6 +198,121 @@ object Bench {
     l >= 0 && l <= cores / 8.0
   }
 
+  /** SPARK_GRAFT_BENCH_FORK=1: each query runs in its own child JVM
+    * (sequentially — co-running JVMs contaminate each other's timed
+    * windows). Decade-scale sequences die in a single JVM on accumulated
+    * shuffle files (the sf100 registry run left 40 GB behind and was
+    * re-driven by hand, RPTBENCH_r13 part 2); a JVM per query reclaims
+    * shuffle/temp space between queries and makes sf>=10 probes one
+    * unattended command. The child inherits this JVM's exact flags
+    * (add-opens, -Xmx, -D props) and classpath, so child timing matches
+    * the non-fork protocol; per-child startup+warmup stays outside the
+    * timed region by construction. */
+  private def forkMain(sfDir: String, runs: Int, only: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val loadBefore = load1
+    val jvmsBefore = jvmCount
+    val calCpu = cpuCalMs()
+    val calIo = ioCalMs()
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+    val cp = System.getProperty("java.class.path")
+    val logDir = java.nio.file.Paths.get("target", "bench_fork")
+    java.nio.file.Files.createDirectories(logDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    var reruns = 0
+    var childContended = false
+    val results: Seq[(String, Double)] = names.map { name =>
+      val outFile = logDir.resolve(s"$name.json")
+      java.nio.file.Files.deleteIfExists(outFile)
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logDir.resolve(s"$name.log").toFile)
+      val exit = pb.start().waitFor()
+      val parsed = scala.util.Try(om.readTree(outFile.toFile)).toOption
+      parsed match {
+        case Some(node) if node.path("queries").has(name) =>
+          node.path("errors").elements().asScala
+            .foreach(e => errors += e.asText())
+          reruns += node.path("reruns").asInt(0)
+          childContended ||= node.path("contended").asBoolean(false)
+          name -> node.path("queries").get(name).asDouble(-1.0)
+        case _ =>
+          errors += s"$name: ChildExit$exit"
+          name -> -1.0
+      }
+    }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val causes = scala.collection.mutable.ArrayBuffer[String]()
+    if (loadBefore > Runtime.getRuntime.availableProcessors()) causes += "load"
+    if (childContended) causes += "child_contended"
+    val contended = causes.nonEmpty
+    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val guard = f""""load_before":$loadBefore%.2f,"load_after":${load1}%.2f,""" +
+      s""""jvms_before":$jvmsBefore,"jvms_after":$jvmCount,""" +
+      s""""reruns":$reruns,"contended":$contended,"forked":true,""" +
+      f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
+      s""""cause":"${causes.mkString("|")}""""
+    emit(results, total, guard, errJson, sfDir, outOverride = None)
+  }
+
+  /** Writes target/bench_full.json (full names) + bench_out.json (short
+    * ids) and prints the short one-line JSON — or, when `outOverride` is
+    * set (a fork-mode child), writes the full-name line there and prints
+    * nothing parseable (the parent owns the stdout contract). */
+  private def emit(results: Seq[(String, Double)], total: Double,
+      guard: String, errJson: String, sfDir: String,
+      outOverride: Option[java.nio.file.Path]): Unit = {
+    def jsonLine(keyed: Seq[(String, Double)]): String = {
+      val qs = keyed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$guard,"errors":$errJson}"""
+    }
+    outOverride match {
+      case Some(p) =>
+        java.nio.file.Files.write(p,
+          jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None =>
+        // The harness reading stdout keeps only a bounded tail (~2000
+        // chars): with a full registry (~85 queries) the full-name map
+        // (~2.7k chars) gets its head truncated and the line no longer
+        // parses. The stdout line therefore uses the short registry id
+        // (the unique "q01"/"d04"/"v10" prefix) and the full-name JSON
+        // goes to target/bench_full.json. Write the full-name file FIRST
+        // so a guard failure below still leaves the measured data on disk
+        // instead of discarding the whole run.
+        val full = java.nio.file.Paths.get("target", "bench_full.json")
+        java.nio.file.Files.createDirectories(full.getParent)
+        java.nio.file.Files.write(full,
+          jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val shortKeyed = results.map { case (k, v) => k.split('_').head -> v }
+        require(shortKeyed.map(_._1).distinct.size == shortKeyed.size,
+          "short registry ids must stay unique for the bench stdout line")
+        // structured copy in cwd: future pin readers (and humans) get real
+        // JSON instead of scraping the harness tail buffer
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+          jsonLine(shortKeyed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val line = jsonLine(shortKeyed)
+        require(line.length <= 1800,
+          s"bench stdout line ${line.length} chars would overflow the harness tail buffer")
+        // scalastyle:off println
+        println(line)
+        // scalastyle:on println
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
@@ -206,6 +321,12 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) {
+      forkMain(sfDir, runs, only)
+      return
+    }
+    val childOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
     val loadBefore = load1
     val jvmsBefore = jvmCount
     val cores = Runtime.getRuntime.availableProcessors()
@@ -288,33 +409,7 @@ object Bench {
       s""""reruns":$rerun,"contended":$contended,""" +
       f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
       f""""cal_ratio":$calRatio%.2f,"cause":"${causes.mkString("|")}""""
-    def jsonLine(keyed: Seq[(String, Double)]): String = {
-      val qs = keyed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-        .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$guard,"errors":$errJson}"""
-    }
-    // The harness reading stdout keeps only a bounded tail (~2000 chars):
-    // with a full registry (~85 queries) the full-name map (~2.7k chars) gets
-    // its head truncated and the line no longer parses. The stdout line
-    // therefore uses the short registry id (the unique "q01"/"d04"/"v10"
-    // prefix) and the full-name JSON goes to target/bench_full.json.
-    // Write the full-name file FIRST so a guard failure below still leaves
-    // the measured data on disk instead of discarding the whole run.
-    val full = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(full.getParent)
-    java.nio.file.Files.write(full,
-      jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val shortKeyed = results.map { case (k, v) => k.split('_').head -> v }
-    require(shortKeyed.map(_._1).distinct.size == shortKeyed.size,
-      "short registry ids must stay unique for the bench stdout line")
-    // structured copy in cwd: future pin readers (and humans) get real
-    // JSON instead of scraping the harness tail buffer
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      jsonLine(shortKeyed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val line = jsonLine(shortKeyed)
-    require(line.length <= 1800,
-      s"bench stdout line ${line.length} chars would overflow the harness tail buffer")
-    println(line)
+    emit(results, total, guard, errJson, sfDir, childOut)
     spark.stop()
   }
 }
