@@ -358,6 +358,10 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // over-cap slices (seed%11 in {2,3}) that actually planned an in-scan
     // delivery — the adversarial-grid coverage must not be vacuous
     val quantGridPlans = new java.util.concurrent.atomic.AtomicInteger(0)
+    // relative-admission slice (seed%11 == 4) plans that actually planned
+    // a transfer: under the forced 1-row absolute cap every one of these
+    // is an admitted-over-absolute build with big-BF sizing
+    val bigBuildPlans = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -386,6 +390,15 @@ class JoinShapeFuzzSuite extends SparkTestBase {
               case 2 => Seq( // quantized over-cap alone (default-on path):
                 // every build over the cap, anchors through the DPS channel
                 RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1")
+              case 4 => Seq( // probe-relative BIG-BUILD admission
+                // (RPTBENCH_r13 part 2): absolute cap forced to 1 row so
+                // EVERY planned transfer rides the relative path
+                // (build.card <= probe.card x fraction) and sizes its BF
+                // by bigBuildMaxBfItems; shuffle regime because the
+                // relative path is scoped to autoBroadcastJoinThreshold<=0
+                RptConf.MAX_BUILD_ROWS -> "1",
+                RptConf.BIG_BUILD_PROBE_FRACTION -> "1.0",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1")
               case 3 => Seq( // ADVERSARIAL grids: buckets from degenerate 1
                 // (one span-wide anchor) through span-sized (width-1
                 // anchors == the exact key set) to absurdly oversized —
@@ -424,6 +437,9 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                       quantGridPlans.incrementAndGet()
                     }
                   }
+                  if (seed % 11 == 4 && planStr.contains("might_contain")) {
+                    bigBuildPlans.incrementAndGet()
+                  }
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
@@ -455,7 +471,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     info(f"$nPlans plans, ${tablesTotal.get.toDouble / nPlans}%.1f avg tables " +
       s"(min ${tablesMin.get}), ${cyclesTotal.get} cyclic attaches, " +
       s"${rewritten.get} rewritten (first combo per seed), " +
-      s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids)")
+      s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids), " +
+      s"${bigBuildPlans.get} relative-admitted big-build plans")
     // the generator must actually produce cyclic join graphs (multi-parent
     // attaches) at sweep scale, not only trees
     if (nPlans >= 100) assert(cyclesTotal.get > 0,
@@ -464,6 +481,10 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // in-scan transfers, not silently stand down
     if (nPlans >= 100) assert(quantGridPlans.get > 0,
       "no over-cap in-scan plans across the quant slices")
+    // the relative-admission slice must actually admit big builds (plan
+    // transfers with the absolute cap at 1 row), not silently stand down
+    if (nPlans >= 100) assert(bigBuildPlans.get > 0,
+      "no relative-admitted big-build plans across the big-build slice")
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite
     assert(tablesMin.get >= 5,
