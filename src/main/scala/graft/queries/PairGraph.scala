@@ -102,7 +102,7 @@ object PairGraph {
       _ => {
         val b = bands(spark, sfDir)
         pairExpansions.incrementAndGet()
-        b.as("a").join(b.as("b"),
+        val expanded = b.as("a").join(b.as("b"),
             col("a.band") === col("b.band") &&
             col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -112,6 +112,28 @@ object PairGraph {
               |  OR (a.band > 2 AND a.mh[4] = b.mh[4] AND a.mh[5] = b.mh[5]))
               |""".stripMargin))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+        // Small-corpus escape hatch for the per-consumer re-execution
+        // (BENCH note: d04 sf0.1 0.085 s → 0.26 s after the streamed
+        // shape landed): when the pair count is PROVABLY small, cache
+        // the expansion so the band join runs once per session instead
+        // of once per consumer/run. The bound is exact, not a guess —
+        // Σ_buckets k·(k−1)/2 over the checkpointed (hence measured,
+        // linear-sized) band table, one cheap agg — so a boilerplate
+        // mega-clique corpus (the sf100 disk-filler: ~2.5e9 pairs from
+        // 1000-member buckets) always streams, while a corpus whose
+        // whole pair set fits a few executor-MB gets the materialized
+        // form back. 4M pairs ≈ 64 MB cached — noise at executor scale.
+        val pairBound = b.groupBy(col("band"), col("sig"))
+          .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("k"))
+          .agg(org.apache.spark.sql.functions.sum(col("k") * (col("k") - 1)))
+          .head()
+        val maxPairs = spark.conf
+          .get("spark.graft.dedup.pairPersistMaxPairs", "4000000").toLong
+        val bounded = !pairBound.isNullAt(0) &&
+          pairBound.getLong(0) / 2 <= maxPairs
+        if (bounded) expanded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else expanded
       })
   }
 

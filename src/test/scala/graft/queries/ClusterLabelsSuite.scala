@@ -43,6 +43,22 @@ class ClusterLabelsSuite extends SparkTestBase {
       fingerprint(DedupQueries.minhashPairs(spark)))
   }
 
+  test("pair expansion persists when the pair bound is small, streams " +
+      "when it is not — results identical either way") {
+    // fresh sessions: the pairs cache is keyed by session reference, so
+    // each regime gets its own plan construction
+    val small = spark.newSession()
+    val pSmall = PairGraph.pairs(small, sfDir)
+    assert(pSmall.storageLevel.useMemory || pSmall.storageLevel.useDisk,
+      "sf0.001's provably tiny pair set should be persisted")
+    val big = spark.newSession()
+    big.conf.set("spark.graft.dedup.pairPersistMaxPairs", "0")
+    val pBig = PairGraph.pairs(big, sfDir)
+    assert(pBig.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "over-bound pair sets must stream, never materialize")
+    assert(fingerprint(pSmall) === fingerprint(pBig))
+  }
+
   test("labels table matches a direct closure computation") {
     val direct = graft.ops.ConnectedComponents
       .labels(DedupQueries.minhashPairs(spark), "doc_a", "doc_b")

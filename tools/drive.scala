@@ -383,6 +383,19 @@ spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "65536")
 spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
-val driveExpected = 52
+// --- round 14: size-gated pair-expansion persist (d04/d11 share one
+// execution when the exact pair bound is small; stream when it is not)
+val pgSmall = spark.newSession()
+pgSmall.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+val pgS = graft.queries.PairGraph.pairs(pgSmall, sf)
+check(pgS.storageLevel.useMemory || pgS.storageLevel.useDisk, "small-corpus pair expansion not persisted")
+val pgBig = spark.newSession()
+pgBig.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+pgBig.conf.set("spark.graft.dedup.pairPersistMaxPairs", "0")
+val pgB = graft.queries.PairGraph.pairs(pgBig, sf)
+check(pgB.storageLevel == org.apache.spark.storage.StorageLevel.NONE, "over-bound pair expansion persisted")
+check(pgS.count() == pgB.count() && pgS.count() > 0, "persisted vs streamed pair sets differ")
+
+val driveExpected = 55
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
