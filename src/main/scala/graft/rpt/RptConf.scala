@@ -378,20 +378,22 @@ object RptConf {
    *  unselective probe's cost on the first run. Partitions smaller than
    *  the sample never disable, so small-SF runs are byte-identical.
    *
-   *  OPT-IN (default false), unlike the reference's unconditional wrap —
-   *  a measured decision (RPTBENCH_r13 part 3): the insurance pays well
-   *  where it fires (an unpriceable keep-all build costs the bare probe
-   *  9–37%; the drop recovers 30–100% of that), but Spark's row-at-a-time
-   *  codegen prices the wrapper at ~2–3 ns per probe-row even when no
-   *  latch ever fires (zero latches measured on q35, yet rule-on pays
-   *  ~7%: 1.21× → 1.13× — the reference's per-vector check is ~free,
-   *  ours is per-row and never amortizes with scale). The default-on
-   *  planning-time keep-fraction gate already kills statically-priceable
-   *  weak builds for free; turn this on for workloads whose build
-   *  filters footers cannot price (LIKE / equality / computed). Wrapping
-   *  happens at PHYSICAL planning ([[WrapAdaptiveProbes]]) — a logical
-   *  wrap additionally duplicated every build subquery into the scan's
-   *  dataFilters (q35 measured 1.03×). */
+   *  DEFAULT ON (round 14), matching the reference's unconditional wrap.
+   *  Round 13 shipped it opt-in because the two-branch sampling codegen
+   *  taxed deep plans ~7% with zero latches (RPTBENCH_r13 part 3). The
+   *  r14 codegen closes the sampling machinery behind a latched `fastOn`
+   *  flag once the window ends — steady state is two predictable branches
+   *  and zero counter updates per row — and the same-JVM q35 8-probe
+   *  bare-vs-wrapped delta measured 1.2–1.9% (min-of-7, two independent
+   *  JVMs), under the 2% bar the r13 verdict set for flipping the
+   *  default. Where it fires, the insurance still pays: an unpriceable
+   *  keep-all build costs the bare probe 9–37% and the drop recovers
+   *  50–90% of that at sf1 (partition-geometry-bound, →~98% at cluster
+   *  partition counts). The default-on planning-time keep-fraction gate
+   *  kills statically-priceable weak builds before this ever sees them.
+   *  Wrapping happens at PHYSICAL planning ([[WrapAdaptiveProbes]]) — a
+   *  logical wrap additionally duplicated every build subquery into the
+   *  scan's dataFilters (q35 measured 1.03×). */
   val ADAPTIVE_PROBE = "spark.graft.rpt.adaptiveProbeDrop"
   /** Rows each partition samples before the keep-rate check. The
    *  reference samples 1M rows PER SCAN; this sample is PER PARTITION,
@@ -492,7 +494,7 @@ object RptConf {
   def probeFeedbackKeep(conf: SQLConf): Double =
     conf.getConfString(PROBE_FEEDBACK_KEEP, "0.98").toDouble
   def adaptiveProbeDrop(conf: SQLConf): Boolean =
-    conf.getConfString(ADAPTIVE_PROBE, "false").toBoolean
+    conf.getConfString(ADAPTIVE_PROBE, "true").toBoolean
   def adaptiveProbeSample(conf: SQLConf): Long =
     conf.getConfString(ADAPTIVE_PROBE_SAMPLE, "65536").toLong
   def adaptiveProbeKeep(conf: SQLConf): Double =

@@ -142,6 +142,35 @@ object AdaptiveDropProbe {
         s"$rname results diverged across configs: $results")
     }
 
+    // DEEP regime (SPARK_GRAFT_ADAPT_DEEP=1): the q35 8-probe plan whose
+    // bare-vs-wrapped delta is the whole default-on question (RPTBENCH_r13
+    // part 3 finding 2: ~7% per-row mechanics tax with ZERO latches on the
+    // old two-branch codegen). Same-JVM min-of-N of rule-on bare vs
+    // rule-on wrapped — cross-JVM q35 runs wobble more than the delta
+    // under test. All probes here are selective (none latch), so the
+    // wrapped time isolates the steady-state fast-path cost.
+    if (sys.env.get("SPARK_GRAFT_ADAPT_DEEP").contains("1")) {
+      val d = graft.queries.RelationalQueries.defs
+        .find(_.name == "q35_job_depth").get
+      def deepQ() = d.fn(spark, sfDir)
+      withConf(base :+ (RptConf.ENABLED -> "true")) { deepQ().collect() }
+      for ((cname, flag) <- Seq("bare" -> "false", "wrapped" -> "true")) {
+        withConf(base ++ Seq(RptConf.ENABLED -> "true",
+            RptConf.ADAPTIVE_PROBE -> flag)) {
+          var best = Double.MaxValue
+          for (_ <- 1 to runs) {
+            AdaptiveProbe.resetDisables()
+            val t0 = System.nanoTime()
+            deepQ().collect()
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (sec < best) best = sec
+          }
+          out(s"deep_${cname}_sec") = math.round(best * 1000) / 1000.0
+          if (cname == "wrapped") out("deep_disables") = AdaptiveProbe.disables
+        }
+      }
+    }
+
     val json = out.map {
       case (k, v: Double) => s""""$k":$v"""
       case (k, v) => s""""$k":$v"""

@@ -195,23 +195,24 @@ class AdaptiveProbeSuite extends SparkTestBase {
     }
   }
 
-  test("opt-in (measured per-row tax, RPTBENCH_r13 part 3): bare by " +
-      "default, wrapped when enabled") {
+  test("default ON (r14 fast-path codegen, tax measured 1.2-1.9% on the " +
+      "q35 deep plan): wrapped by default, bare when disabled") {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
         RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false") {
       val df = query("dimfew")
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("might_contain"))
-      assert(!plan.contains("graft_adaptive_probe"))
+      assert(plan.contains("graft_adaptive_probe"),
+        "default must match the reference's unconditional wrap")
     }
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
         RptConf.ENABLED -> "true", RptConf.FILTERED_BUILDS_ONLY -> "false",
-        RptConf.ADAPTIVE_PROBE -> "true") {
+        RptConf.ADAPTIVE_PROBE -> "false") {
       val df = query("dimfew")
       df.collect()
-      assert(df.queryExecution.executedPlan.toString
-        .contains("graft_adaptive_probe"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"))
+      assert(!plan.contains("graft_adaptive_probe"))
     }
   }
 }

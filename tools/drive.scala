@@ -352,11 +352,16 @@ spark.conf.set("spark.graft.rpt.enabled", "true")
 spark.conf.set("spark.graft.rpt.minProbeRows", "0")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 val adSql = "SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_orderpriority LIKE '%-%'"
-// opt-in (measured per-row tax, RPTBENCH_r13 part 3): bare by default
+// default ON since r14 (fast-path codegen, deep-plan tax 1.2-1.9%): the
+// executed plan wraps by default; disabling the flag restores bare probes
 val adDfDefault = spark.sql(adSql)
 adDfDefault.collect()
 val adPlanDefault = adDfDefault.queryExecution.executedPlan.toString
-check(adPlanDefault.contains("might_contain") && !adPlanDefault.contains("graft_adaptive_probe"), "adaptive drop must be opt-in (default plans bare)")
+check(adPlanDefault.contains("graft_adaptive_probe"), "adaptive drop must be default-on (reference's unconditional wrap)")
+spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "false")
+val adDfBare = spark.sql(adSql)
+adDfBare.collect()
+check(adDfBare.queryExecution.executedPlan.toString.contains("might_contain") && !adDfBare.queryExecution.executedPlan.toString.contains("graft_adaptive_probe"), "disabled drop must plan bare")
 // enabled: the wrap is PHYSICAL (WrapAdaptiveProbes) — the logical plan
 // stays bare (a logical wrap duplicated build subqueries into scan
 // dataFilters), the executed plan carries the wrapper
@@ -378,7 +383,7 @@ check(adDisables > 0, "keep-all probe never latched off at a 64-row sample")
 graft.rpt.AdaptiveProbe.resetDisables()
 val adSel = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000").collect()
 check(graft.rpt.AdaptiveProbe.disables == 0, "selective probe was dropped")
-spark.conf.set("spark.graft.rpt.adaptiveProbeDrop", "false")
+spark.conf.unset("spark.graft.rpt.adaptiveProbeDrop")
 spark.conf.set("spark.graft.rpt.adaptiveProbeSampleRows", "65536")
 spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -396,6 +401,6 @@ val pgB = graft.queries.PairGraph.pairs(pgBig, sf)
 check(pgB.storageLevel == org.apache.spark.storage.StorageLevel.NONE, "over-bound pair expansion persisted")
 check(pgS.count() == pgB.count() && pgS.count() > 0, "persisted vs streamed pair sets differ")
 
-val driveExpected = 55
+val driveExpected = 56
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
