@@ -141,8 +141,21 @@ object StreamingQueries {
     * windows still open. The sentinel advances the global watermark past
     * every real window/gap/session, so the drained output is the
     * operator's complete answer — comparable row-for-row to the batch
-    * oracle. Written once per (session, sfDir); one file ⇒ deterministic
-    * single-batch arrival. */
+    * oracle. Written once per (session, sfDir).
+    *
+    * Parallel write (r14, VERDICT r13 #6): the fixture used to be
+    * `coalesce(1)` — a single-threaded write of the whole events table,
+    * which at sf100 (~400M rows) dominated v08's wall and made the
+    * family read as super-linear (30× for 10× events). All files are
+    * still consumed in ONE micro-batch (no maxFilesPerTrigger is set, so
+    * the source takes every available file at trigger 0), and batch-0
+    * arrival order is irrelevant to every gated operator: watermarks
+    * advance AFTER the batch, windows/sessions/dedup are event-time- or
+    * set-gated, so multi-file arrival is observationally identical to
+    * the old single file. Spark's partial aggregation already bounds
+    * per-batch state updates to one per touched (window, type) key, so
+    * the stateful side needs no pre-aggregation beyond what the plan
+    * does. */
   private val evDirs = scala.collection.concurrent.TrieMap[String, String]()
   private def eventStreamDir(spark: SparkSession, sfDir: String): String =
     evDirs.getOrElseUpdate(s"${spark.hashCode}:$sfDir", {
@@ -160,7 +173,13 @@ object StreamingQueries {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_evstream_").toFile
       dir.deleteOnExit()
-      raw.unionByName(sentinel).coalesce(1)
+      // size the file count to the data (1 file per ~2M events, max 32):
+      // tiny gate fixtures keep their single deterministic file, decade
+      // fixtures write and scan in parallel
+      val nEvents = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val files = math.max(1L, math.min(32L,
+        (nEvents / (64L * 1024 * 1024)).toLong)).toInt
+      raw.unionByName(sentinel).repartition(files)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
       dir.getAbsolutePath
     })

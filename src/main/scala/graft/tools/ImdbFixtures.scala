@@ -154,13 +154,17 @@ object ImdbFixtures {
   private def u(seed: Int, idCol: Column = col("id")): Column =
     h(1000000L, seed, idCol).cast("double") / lit(1000000.0)
 
-  /** FK into [1, n] with a mild quadratic skew toward low ids (popular
-    * movies/people accumulate more bridge rows, like the real IMDB). */
+  /** FK into [1, n] with BOUNDED skew: 1 in 4 rows lands uniformly in
+    * the "popular" low-5% id range (each hot id draws ~6× the uniform
+    * rate), the rest uniform. Popularity is real in IMDB, but an
+    * UNBOUNDED concentration (an earlier u² draw put ~0.1% of all
+    * bridge rows on id 1) cross-products catastrophically in the
+    * multi-bridge JOB queries — each movie's join output is the PRODUCT
+    * of its per-bridge row counts, so per-id mass must stay O(1/n). */
   private def fk(n: Long, seed: Int, idCol: Column = col("id")): Column = {
-    val uu = u(seed, idCol)
-    val skewed = when(h(4, seed + 7, idCol) === 0, pow(uu, lit(2.0)))
-      .otherwise(uu)
-    (skewed * lit(n.toDouble)).cast("long") % lit(n) + lit(1)
+    val hot = math.max(1L, n / 20)
+    when(h(4, seed + 7, idCol) === 0, h(hot, seed + 11, idCol) + 1)
+      .otherwise(h(n, seed, idCol) + 1)
   }
 
   /** production_year skewed toward the recent decades (real IMDB shape);
