@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions.{col, min}
  *    the QUERY OUTPUT of d04 and d11, so its size is inherently
  *    quadratic in bucket size (a bucket of k identical docs contributes
  *    k·(k−1)/2 pairs). Consumers: d04's pair listing, d11's
- *    contamination matrix. NEVER materialized: at corpus scale the pair
- *    list does not fit anywhere (the sf100 fixture's 1000-member
+ *    contamination matrix. Not materialized at scale: a corpus-sized
+ *    pair list does not fit anywhere (the sf100 fixture's 1000-member
  *    exact-dup cliques yield ~2.5e9 pairs; an eager checkpoint or a
  *    DISTINCT shuffle of that list filled the whole disk). Instead the
  *    expansion STREAMS: each pair is emitted by its FIRST matching band
@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions.{col, min}
  *    iff every earlier band mismatches), which is set-identical to the
  *    DISTINCT of the naive 4-band join but needs no dedup shuffle —
  *    pairs flow straight from the co-partitioned band join into the
- *    consumer's aggregation.
+ *    consumer's aggregation. One bounded escape hatch: when the EXACT
+ *    pair bound (Σ k·(k−1)/2 over the measured band table) fits a few
+ *    executor-MB, the expansion is persisted so repeat consumers skip
+ *    the band re-join (see the size gate in [[pairs]]).
  *  - [[starEdges]]: one edge per band row to the bucket-minimum doc —
  *    a spanning STAR per bucket, LINEAR in bucket size (≤4 edges per
  *    doc), with exactly the same connected components as the clique
@@ -60,8 +63,9 @@ object PairGraph {
   private[graft] val computations = new AtomicLong(0L)
 
   /** Fresh pair-expansion PLAN constructions since JVM start (d04 + d11
-    * share one plan over the shared band table; each consumer streams
-    * its own execution of it). */
+    * share one plan over the shared band table; each consumer executes
+    * it — streaming the band join anew unless the size-gated persist
+    * in [[pairs]] cached the expansion). */
   private[graft] val pairExpansions = new AtomicLong(0L)
 
   /** The (doc_id, band, sig, mh) table of the d04 LSH banding,
@@ -123,14 +127,23 @@ object PairGraph {
         // 1000-member buckets) always streams, while a corpus whose
         // whole pair set fits a few executor-MB gets the materialized
         // form back. 4M pairs ≈ 64 MB cached — noise at executor scale.
+        // decimal(38,0) arithmetic: a mega-clique corpus can push
+        // Σ k·(k−1) past Long range, and with ANSI off a Long sum wraps
+        // silently — a negative wrap would otherwise pass the <= check
+        // and persist exactly the expansion the gate exists to reject
         val pairBound = b.groupBy(col("band"), col("sig"))
           .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("k"))
-          .agg(org.apache.spark.sql.functions.sum(col("k") * (col("k") - 1)))
+          .agg(org.apache.spark.sql.functions.sum(
+            col("k").cast("decimal(38,0)") * (col("k") - 1)))
           .head()
         val maxPairs = spark.conf
           .get("spark.graft.dedup.pairPersistMaxPairs", "4000000").toLong
-        val bounded = !pairBound.isNullAt(0) &&
-          pairBound.getLong(0) / 2 <= maxPairs
+        val bounded = !pairBound.isNullAt(0) && {
+          val half = pairBound.getDecimal(0).toBigInteger
+            .divide(java.math.BigInteger.TWO)
+          half.signum >= 0 &&
+            half.compareTo(java.math.BigInteger.valueOf(maxPairs)) <= 0
+        }
         if (bounded) expanded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else expanded

@@ -173,12 +173,12 @@ object StreamingQueries {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_evstream_").toFile
       dir.deleteOnExit()
-      // size the file count to the data (1 file per ~2M events, max 32):
-      // tiny gate fixtures keep their single deterministic file, decade
-      // fixtures write and scan in parallel
-      val nEvents = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      // size the file count to the data (1 file per ~64 MB of estimated
+      // input, max 32): tiny gate fixtures keep their single
+      // deterministic file, decade fixtures write and scan in parallel
+      val estBytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
       val files = math.max(1L, math.min(32L,
-        (nEvents / (64L * 1024 * 1024)).toLong)).toInt
+        (estBytes / (64L * 1024 * 1024)).toLong)).toInt
       raw.unionByName(sentinel).repartition(files)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
       dir.getAbsolutePath

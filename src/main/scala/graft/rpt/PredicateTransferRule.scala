@@ -73,6 +73,25 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
   private def rewrite(plan: LogicalPlan): LogicalPlan = {
     val graph = JoinGraph.extract(plan)
     if (graph.edges.size < RptConf.minEdges(conf)) return plan
+    // planning-time total-work floor (RptConf.MIN_PLAN_WORK_BYTES): a
+    // query whose estimated total scan volume sits under the floor plans
+    // no transfers at all — exit before paying for schedule construction,
+    // like the whole-plan broadcast bail below. Plans carrying a
+    // runtime-filterable v2 relation proceed regardless: the in-scan
+    // pruning paths are exempt from the floor (file skipping pays at
+    // every scale), so their ops must still be scheduled.
+    if (RptConf.waveCostBytes(conf) > 0) {
+      val planScanBytes: BigInt =
+        plan.collectLeaves().map(_.stats.sizeInBytes).sum
+      val hasV2 = plan.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.isInstanceOf[org.apache.spark.sql.graft.sources.GraftParquetTable]
+        case _ => false
+      }
+      if (planScanBytes < RptConf.minPlanWorkBytes(conf) && !hasV2) {
+        return plan
+      }
+    }
     // whole-plan broadcast bail: when EVERY join's smaller input sits
     // within the AQE conversion margin on a shallow graph, every op the
     // schedule could emit would be gated anyway — exit before paying for
@@ -562,6 +581,58 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // runtimeSizedBuilds flag (TTL-cached), else the unfiltered card.
     // Memoized per build unit off its first snapshot — pass-to-pass
     // snapshot differences only tighten the filter, never loosen it.
+    // --- planning-time total-work floor (RptConf.WAVE_COST_BYTES) ---
+    // Each distinct (build unit, keys, pass) group that injects a BF or
+    // min/max probe costs one executed wave: a build-subquery stage
+    // launch + result broadcast + a SECOND scan of the build side. The
+    // query's budget is a fraction of its PROBED-unit bytes — the scan
+    // surface the transfers actually filter, summed over the schedule's
+    // distinct probe-eligible units. Probe bytes, not whole-plan bytes,
+    // because downstream payoff scales with the data the probes cut:
+    // a five-arm fact topology earns five facts' worth of waves, while
+    // a single-fact plan of the same total size affords only the cheap
+    // dim builds (the measured JOBREAL split: same byte footprint, the
+    // multi-arm shapes win 2-26x and the single-fact ones lose 0.4-0.7x
+    // carrying fact-fraction builds). Each wave charges max(flat stage
+    // cost, waveBuildFraction x build unit's leaf bytes). Spending
+    // happens in schedule order, which on the forward pass runs
+    // leaves-to-root — the cheap selective dim builds are admitted first,
+    // the fact-fraction builds (the measured 1.3-1.8 s cost drivers on
+    // interactive-scale JOB) are what an exhausted budget rejects. A
+    // budget under one flat wave stands every probe down. The v2
+    // in-scan paths below are exempt (see the rewrite() stand-down).
+    val waveCost = RptConf.waveCostBytes(conf)
+    val unitBytesMemo = mutable.HashMap[Int, BigInt]()
+    def unitLeafBytes(id: Int): BigInt = unitBytesMemo.getOrElseUpdate(id,
+      graph.units(id).plan.collectLeaves().map(_.stats.sizeInBytes).sum)
+    var waveBudget: BigInt =
+      if (waveCost <= 0) BigInt(-1)
+      else {
+        val probedBytes: BigInt = ops.map(_.probe).distinct
+          .filter(graph.units(_).card >= RptConf.minProbeRows(conf))
+          .map(unitLeafBytes).sum
+        (BigDecimal(probedBytes) * RptConf.waveWorkFraction(conf)).toBigInt
+      }
+    val admittedWaves = mutable.Set[(Int, String, Boolean)]()
+    def waveAdmitted(op: ScheduledOp): Boolean = {
+      if (waveBudget < 0) true
+      else {
+        val key = (op.build,
+          op.buildKeys.map(_.canonicalized.toString).mkString(";"),
+          op.forward)
+        if (admittedWaves.contains(key)) true
+        else {
+          val charge = (BigDecimal(unitLeafBytes(op.build)) *
+            RptConf.waveBuildFraction(conf)).toBigInt.max(BigInt(waveCost))
+          if (waveBudget >= charge) {
+            waveBudget -= charge
+            admittedWaves += key
+            true
+          } else false
+        }
+      }
+    }
+
     val v2GateMemo = mutable.HashMap[Int, Boolean]()
     def v2BuildSmallEnough(id: Int, buildPlan: LogicalPlan): Boolean =
       v2GateMemo.getOrElseUpdate(id, {
@@ -683,7 +754,10 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           if (buildForm == "semijoin") reducedBuild.materialize(op.buildKeys)
           else cascadePlan
         val conds = mutable.ArrayBuffer[Expression]()
-        if (withBf) {
+        // the probe-wave floor: only BF/min-max injection consumes the
+        // wave budget; the scan-pruning paths further down are exempt
+        val waveOk = waveAdmitted(op)
+        if (waveOk && withBf) {
           conds += BloomFilterMightContain(
             sharedScalarAgg("bf", {
               // a build admitted past the absolute cap by the
@@ -710,7 +784,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           // PHYSICAL planning — see WrapAdaptiveProbes for why a logical
           // wrap here measurably regressed deep plans
         }
-        if (withMinmax) {
+        if (waveOk && withMinmax) {
           val pairs = op.buildKeys.zip(op.probeKeys)
             .filter { case (bk, _) => RowOrdering.isOrderable(bk.dataType) }
           if (literalBnds && pairs.nonEmpty) {

@@ -141,6 +141,59 @@ object RptConf {
    *  sides exceed the broadcast ceiling and ops transfer without
    *  consulting the bypass at all. 1.0 disables this refinement. */
   val DEEP_PLAN_BYPASS_KEEP = "spark.graft.rpt.deepPlanBypassKeepFraction"
+  /** Planning-time total-work floor — the payoff gate Spark needs and the
+   *  reference does not: every transfer wave here costs a fixed overhead
+   *  (a build-subquery stage launch + its result broadcast, plus a SECOND
+   *  scan of the build side), where the reference re-emits materialized
+   *  chunks in-process at ~zero cost (physical_create_bf.cpp:441-557).
+   *  On a sub-second query those fixed costs can never amortize no matter
+   *  how selective the probes are (JOBREAL_r14: 8-12 planned waves inside
+   *  1 s queries measured 0.3-0.5x), while the SAME shapes win 1.6-2.7x
+   *  once each query carries enough data (JOBTOPO sf1, the sf100 trio).
+   *
+   *  Mechanism: each query may spend `probedUnitBytes x
+   *  [[WAVE_WORK_FRACTION]]` bytes of budget on transfer waves, where
+   *  probedUnitBytes sums the leaf file bytes of the schedule's distinct
+   *  probe-eligible units — the scan surface the transfers actually
+   *  filter, which is what downstream payoff scales with (a five-arm
+   *  fact topology earns five facts' worth of waves; a single-fact plan
+   *  of the same total bytes affords only its cheap dim builds). Each
+   *  distinct (build unit, keys, pass) group charges `max(thisSetting,
+   *  [[WAVE_BUILD_FRACTION]] x buildUnitLeafBytes)` — the flat term
+   *  models the stage-launch floor, the byte term the second build
+   *  scan. Ops over budget inject no BF/min-max probe (schedule order
+   *  spends on the cheap forward-pass dim builds first); a budget under
+   *  one flat wave — or a plan under [[MIN_PLAN_WORK_BYTES]] total —
+   *  plans no transfers at all. Scale-aware by construction: budget
+   *  grows linearly with data, so at warehouse scale nothing is gated
+   *  (sf100: multi-GB budgets vs ~100 MB of builds), while
+   *  interactive-scale queries stand down. The SCAN pruning paths (v2
+   *  in-scan keys/anchors/envelopes) are exempt: they are the cheap
+   *  file-skipping analog of the reference's unconditional in-scan
+   *  pushdown and pay at every scale.
+   *  0 disables the floor (reference-faithful: transfer on every edge). */
+  val WAVE_COST_BYTES = "spark.graft.rpt.waveCostBytes"
+  /** Fast-bail half of the stand-down floor: when the plan's estimated
+   *  total leaf scan volume is under this many bytes (and no
+   *  runtime-filterable v2 relation is present), the rule exits before
+   *  even building the transfer schedule — at that scale no wave's
+   *  fixed cost can amortize. The finer-grained stand-down (budget
+   *  under one flat wave, probe-bytes-denominated) lives in
+   *  [[WAVE_COST_BYTES]]; this bail just skips schedule construction
+   *  for plans that are obviously under it. 100 TB reading: any real
+   *  warehouse query clears this by orders of magnitude; it exists to
+   *  keep the interactive/CI tail of a workload from paying the
+   *  planning tax. Gated by [[WAVE_COST_BYTES]] > 0 (the floor's
+   *  master switch). */
+  val MIN_PLAN_WORK_BYTES = "spark.graft.rpt.minPlanWorkBytes"
+  /** Fraction of the plan's estimated total scan bytes available to spend
+   *  on transfer waves (see [[WAVE_COST_BYTES]]). */
+  val WAVE_WORK_FRACTION = "spark.graft.rpt.waveWorkFraction"
+  /** Fraction of a build unit's leaf bytes charged against the wave
+   *  budget (see [[WAVE_COST_BYTES]]): the build subquery scans only the
+   *  key and filter columns (projection pushdown), so its cost is a
+   *  fraction of the unit's full-width file bytes. */
+  val WAVE_BUILD_FRACTION = "spark.graft.rpt.waveBuildBytesFraction"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -453,6 +506,14 @@ object RptConf {
     normalized(conf, BUILD_FORM, "semijoin", Set("semijoin", "cascade"))
   def failFast(conf: SQLConf): Boolean =
     conf.getConfString(FAIL_FAST, "false").toBoolean
+  def waveCostBytes(conf: SQLConf): Long =
+    conf.getConfString(WAVE_COST_BYTES, "8388608").toLong
+  def minPlanWorkBytes(conf: SQLConf): Long =
+    conf.getConfString(MIN_PLAN_WORK_BYTES, "33554432").toLong
+  def waveWorkFraction(conf: SQLConf): Double =
+    conf.getConfString(WAVE_WORK_FRACTION, "0.15").toDouble
+  def waveBuildFraction(conf: SQLConf): Double =
+    conf.getConfString(WAVE_BUILD_FRACTION, "0.5").toDouble
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def bigBuildProbeFraction(conf: SQLConf): Double =

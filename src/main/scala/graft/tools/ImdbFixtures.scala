@@ -371,22 +371,23 @@ object ImdbFixtures {
         .otherwise(concat_ws(" ", pick(mcNoteTokens, 174),
           when(h(3, 175) === 0, pick(mcNoteTokens, 176))
             .otherwise(lit(null).cast("string")))).as("note"))
-      .where(col("id") > 12)
+      .where(col("id") > 10) // synthetic ids start past the planted block
     val mcPlanted = {
       import spark.implicits._
-      // (movie_id, company_id, company_type_id=production companies, note)
+      // (movie_id, company_id, note); company_type_id is uniformly 1 =
+      // 'production companies', the type every planted predicate names
       Seq(
-        (1L, 1L, 6L, "(presents) (co-production)"), // Shrek 2 / DreamWorks
-        (2L, 6L, 6L, "(presents) (worldwide)"), // KFP / DreamWorks
-        (3L, 6L, 6L, "(2011) (worldwide)"), // KFP2 / DreamWorks
-        (4L, 12L, 6L, "(Japan) (2006)"), // One Piece / Toho
-        (5L, 12L, 6L, "(Japan) (2007)"), // DBZ / Toho
-        (6L, 7L, 6L, "(2010) (worldwide)"), // Birdemic / YouTube
-        (7L, 4L, 6L, "(Blu-ray) (USA)"), // FvJ / Lionsgate
-        (8L, 4L, 6L, "(Blu-ray) (2006)"), // Saw II / Lionsgate
-        (9L, 1L, 6L, "(theatrical) (France)"),
-        (10L, 2L, 6L, "(co-production) (presents)"))
-        .zipWithIndex.map { case ((m, c, _, nt), i) =>
+        (1L, 1L, "(presents) (co-production)"), // Shrek 2 / DreamWorks
+        (2L, 6L, "(presents) (worldwide)"), // KFP / DreamWorks
+        (3L, 6L, "(2011) (worldwide)"), // KFP2 / DreamWorks
+        (4L, 12L, "(Japan) (2006)"), // One Piece / Toho
+        (5L, 12L, "(Japan) (2007)"), // DBZ / Toho
+        (6L, 7L, "(2010) (worldwide)"), // Birdemic / YouTube
+        (7L, 4L, "(Blu-ray) (USA)"), // FvJ / Lionsgate
+        (8L, 4L, "(Blu-ray) (2006)"), // Saw II / Lionsgate
+        (9L, 1L, "(theatrical) (France)"),
+        (10L, 2L, "(co-production) (presents)"))
+        .zipWithIndex.map { case ((m, c, nt), i) =>
           (i + 1L, m, c, 1L, nt)
         }.toDF("id", "movie_id", "company_id", "company_type_id", "note")
     }

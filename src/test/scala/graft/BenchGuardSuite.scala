@@ -95,6 +95,50 @@ class BenchGuardSuite extends AnyFunSuite {
     }
   }
 
+  test("JOBREAL pins: best speedups per regime, path-anchored, " +
+      "mismatches and foreign fixtures excluded") {
+    val d = tmpDir()
+    write(d, "JOBREAL_r1.json",
+      """{"dir":"/data/imdb_job","runs":1,
+        |"broadcast":{"geomean":0.9,"matches":2,"total":2,"queries":{
+        |  "17c":{"off":7.5,"on":2.4,"speedup":3.06,"match":true},
+        |  "18b":{"off":0.8,"on":2.8,"speedup":0.28,"match":true}}},
+        |"shuffle":{"geomean":1.1,"matches":2,"total":2,"queries":{
+        |  "17c":{"off":70.0,"on":2.7,"speedup":25.74,"match":true},
+        |  "18b":{"off":1.6,"on":3.6,"speedup":0.44,"match":false}}}}"""
+        .stripMargin.replace("\n", ""))
+    // a later round, same fixture: 17c slower, 18b recovered
+    write(d, "JOBREAL_r2.json",
+      """{"dir":"/data/imdb_job/","runs":1,
+        |"shuffle":{"geomean":1.0,"matches":2,"total":2,"queries":{
+        |  "17c":{"off":60.0,"on":4.0,"speedup":15.0,"match":true},
+        |  "18b":{"off":1.5,"on":1.4,"speedup":1.07,"match":true}}}}"""
+        .stripMargin.replace("\n", ""))
+    // a foreign fixture must contribute nothing
+    write(d, "JOBREAL_r3.json",
+      """{"dir":"/data/other_imdb","runs":1,
+        |"shuffle":{"queries":{"17c":{"speedup":99.0,"match":true}}}}"""
+        .stripMargin.replace("\n", ""))
+    val pins = graft.tools.JobReal.priorPins(d.getAbsolutePath,
+      "/data/imdb_job")
+    assert(pins("broadcast") === Map("17c" -> 3.06, "18b" -> 0.28))
+    // max across rounds; the r1 shuffle 18b mismatch row is excluded
+    assert(pins("shuffle") === Map("17c" -> 25.74, "18b" -> 1.07))
+  }
+
+  test("JOBREAL live artifacts (when present) still parse") {
+    val repo = sys.props.getOrElse("user.dir", ".")
+    val have = Option(new java.io.File(repo).listFiles())
+      .getOrElse(Array.empty)
+      .exists(_.getName.matches("JOBREAL_r\\d+\\.json"))
+    if (have) {
+      val pins = graft.tools.JobReal.priorPins(repo,
+        "/root/repo/benchdata/imdb_job")
+      assert(pins.values.exists(_.nonEmpty),
+        "committed JOBREAL_r*.json artifacts stopped parsing")
+    }
+  }
+
   test("calibration probes return positive, repeatable timings") {
     val cpu1 = Bench.cpuCalMs()
     val cpu2 = Bench.cpuCalMs()

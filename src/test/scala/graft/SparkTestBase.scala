@@ -43,6 +43,9 @@ object SparkTestBase {
     // cost gates so transfers still happen (gating has its own test)
     s.conf.set(rpt.RptConf.MIN_PROBE_ROWS, "0")
     s.conf.set(rpt.RptConf.MIN_BUILD_PROBE_RATIO, "0")
+    // the total-work floor would stand the rule down on byte-tiny test
+    // fixtures (that is its job); plan-shape tests need transfers planned
+    s.conf.set(rpt.RptConf.WAVE_COST_BYTES, "0")
     // tests must SEE rewrite defects, not the production stand-down
     s.conf.set(rpt.RptConf.FAIL_FAST, "true")
     s

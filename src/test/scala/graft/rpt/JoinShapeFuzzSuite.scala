@@ -316,7 +316,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     RptConf.MIN_PROBE_ROWS -> "0",
     RptConf.MIN_BUILD_PROBE_RATIO -> "0",
     RptConf.FILTERED_BUILDS_ONLY -> "false",
-    RptConf.SKIP_BROADCASTABLE_BUILDS -> "false")
+    RptConf.SKIP_BROADCASTABLE_BUILDS -> "false",
+    RptConf.WAVE_COST_BYTES -> "0")
 
   // sweep throughput: AQE re-optimization and 4-partition exchanges add
   // ~3x wall time per plan with zero shape coverage on a 6k-row fixture;
@@ -362,6 +363,10 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // a transfer: under the forced 1-row absolute cap every one of these
     // is an admitted-over-absolute build with big-BF sizing
     val bigBuildPlans = new java.util.concurrent.atomic.AtomicInteger(0)
+    // work-floor slice (seed%11 == 5): the byte ladder must actually
+    // straddle the boundary — some plans transfer, some stand down
+    val floorKeptPlans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val floorStoodDown = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -399,6 +404,23 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 RptConf.MAX_BUILD_ROWS -> "1",
                 RptConf.BIG_BUILD_PROBE_FRACTION -> "1.0",
                 "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+              case 5 => Seq( // total-work floor at the BOUNDARY: byte
+                // ladders spanning the tiny fixture's plan sizes, so
+                // across the slice some plans stand fully down (a flat
+                // wave cost no budget can fund — most of these plans
+                // carry a v2 relation, so the minPlanWork fast bail is
+                // bypassed and the stand-down must come from the budget
+                // itself), some trim to a partial schedule, some keep
+                // every wave — all states must stay result-identical to
+                // rule-off. Build-byte charging varies too.
+                RptConf.MIN_PLAN_WORK_BYTES ->
+                  Seq("0", "65536", "1048576")(seed % 3),
+                RptConf.WAVE_WORK_FRACTION -> "1.0",
+                RptConf.WAVE_BUILD_FRACTION ->
+                  Seq("0.0", "0.25", "1.0")(seed % 3),
+                RptConf.WAVE_COST_BYTES ->
+                  Seq("4096", "65536", "16777216",
+                    "1073741824")(seed % 4))
               case 3 => Seq( // ADVERSARIAL grids: buckets from degenerate 1
                 // (one span-wide anchor) through span-sized (width-1
                 // anchors == the exact key set) to absurdly oversized —
@@ -440,6 +462,11 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                   if (seed % 11 == 4 && planStr.contains("might_contain")) {
                     bigBuildPlans.incrementAndGet()
                   }
+                  if (seed % 11 == 5) {
+                    if (planStr.contains("might_contain")) {
+                      floorKeptPlans.incrementAndGet()
+                    } else floorStoodDown.incrementAndGet()
+                  }
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
@@ -457,7 +484,17 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 failures.add(
                 s"seed=$seed gates=$gates threw ${e.getClass.getSimpleName}: ${e.getMessage}")
             } finally {
-              gates.foreach { case (k, _) => s.conf.unset(k) }
+              // restore to the session's SWEEP baseline, not the shipping
+              // default: unset alone would resurrect default-on gates the
+              // sweep holds open (the work floor suppressed 85% of later
+              // seeds when a floor-slice unset fell back to 32 MB)
+              val baseline = (sweepConfs ++ openGates).toMap
+              gates.foreach { case (k, _) =>
+                baseline.get(k) match {
+                  case Some(v) => s.conf.set(k, v)
+                  case None => s.conf.unset(k)
+                }
+              }
             }
           }
         }
@@ -472,7 +509,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
       s"(min ${tablesMin.get}), ${cyclesTotal.get} cyclic attaches, " +
       s"${rewritten.get} rewritten (first combo per seed), " +
       s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids), " +
-      s"${bigBuildPlans.get} relative-admitted big-build plans")
+      s"${bigBuildPlans.get} relative-admitted big-build plans, " +
+      s"floor slice ${floorKeptPlans.get} kept / ${floorStoodDown.get} stood down")
     // the generator must actually produce cyclic join graphs (multi-parent
     // attaches) at sweep scale, not only trees
     if (nPlans >= 100) assert(cyclesTotal.get > 0,
@@ -485,6 +523,15 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // transfers with the absolute cap at 1 row), not silently stand down
     if (nPlans >= 100) assert(bigBuildPlans.get > 0,
       "no relative-admitted big-build plans across the big-build slice")
+    // the work-floor slice must straddle its boundary: plans on both
+    // sides (transfers kept under a small floor, stand-down under a
+    // fixture-dwarfing one), all result-identical
+    if (nPlans >= 100) {
+      assert(floorKeptPlans.get > 0,
+        "work-floor slice never kept a transfer — ladder too high")
+      assert(floorStoodDown.get > 0,
+        "work-floor slice never stood down — ladder too low")
+    }
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite
     assert(tablesMin.get >= 5,

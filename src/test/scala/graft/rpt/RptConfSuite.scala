@@ -66,6 +66,16 @@ class RptConfSuite extends SparkTestBase {
       assert(RptConf.broadcastConversionMargin(sqlConf) == 1.0)
       assert(RptConf.deepPlanEdges(sqlConf) == 99)
     }
+    // total-work floor: waveCostBytes=0 is the reference-faithful master
+    // off switch (the reference pays ~zero per-wave fixed cost, so it
+    // never needed this gate); the session base holds it open for tests
+    withConf(RptConf.WAVE_COST_BYTES -> "8388608") {
+      assert(RptConf.waveCostBytes(sqlConf) == 8388608L)
+      assert(RptConf.minPlanWorkBytes(sqlConf) == 32L * 1024 * 1024)
+      assert(RptConf.waveWorkFraction(sqlConf) == 0.15)
+      assert(RptConf.waveBuildFraction(sqlConf) == 0.5)
+    }
+    assert(RptConf.waveCostBytes(sqlConf) == 0L) // test-session override
   }
 
   test("two-phase feature switches: defaults and overrides") {

@@ -21,6 +21,11 @@ def check(cond: Boolean, msg: String): Unit = { driveChecksRun += 1; if (!cond) 
 
 val sf = "/root/testdata/sf0.01"
 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+// round 15: the total-work floor stands the rule down on byte-tiny
+// fixtures BY DESIGN (that is its shipping behavior) — hold it open so
+// the probe-mechanism checks below still see transfers; its own
+// stand-down differential is checked at the end of this drive
+spark.conf.set("spark.graft.rpt.waveCostBytes", "0")
 for (t <- Seq("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"))
   spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
 
@@ -399,8 +404,29 @@ pgBig.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 pgBig.conf.set("spark.graft.dedup.pairPersistMaxPairs", "0")
 val pgB = graft.queries.PairGraph.pairs(pgBig, sf)
 check(pgB.storageLevel == org.apache.spark.storage.StorageLevel.NONE, "over-bound pair expansion persisted")
+
+// --- round 15: planning-time total-work floor. SHIPPING defaults stand
+// the rule down on this byte-tiny fixture (no transfers, plan identical
+// to rule-off, results unchanged); waveCostBytes=0 is the
+// reference-faithful master off switch that restores every transfer.
+spark.conf.set("spark.graft.rpt.minProbeRows", "0")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.unset("spark.graft.rpt.waveCostBytes")
+val flOn = spark.sql(q)
+val flProbes = "might_contain".r.findAllIn(flOn.queryExecution.optimizedPlan.toString).length
+val flRes = flOn.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.waveCostBytes", "0")
+val flOpen = spark.sql(q)
+val flOpenProbes = "might_contain".r.findAllIn(flOpen.queryExecution.optimizedPlan.toString).length
+val flOpenRes = flOpen.collect().map(_.toString).sorted.toSeq
+spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+println(s"[drive] workFloor defaultProbes=$flProbes openProbes=$flOpenProbes resultsEqual=${flRes == flOpenRes}")
+check(flProbes == 0, "shipping floor must stand down on a byte-tiny plan")
+check(flOpenProbes > 0, "waveCostBytes=0 must restore transfers")
+check(flRes == flOpenRes, "work floor changed results")
 check(pgS.count() == pgB.count() && pgS.count() > 0, "persisted vs streamed pair sets differ")
 
-val driveExpected = 56
+val driveExpected = 59
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)
