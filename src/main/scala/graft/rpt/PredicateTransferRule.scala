@@ -88,7 +88,12 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           r.table.isInstanceOf[org.apache.spark.sql.graft.sources.GraftParquetTable]
         case _ => false
       }
-      if (planScanBytes < RptConf.minPlanWorkBytes(conf) && !hasV2) {
+      if (planScanBytes < RptConf.minPlanWorkBytes(conf) && !hasV2 &&
+          // deep graphs are never fast-bailed: reductions compound through
+          // every downstream join, and multi-alias self-join topologies
+          // explode far past their file bytes (the budget's deep-plan
+          // minimum handles them — see applyOps)
+          graph.edges.size < RptConf.deepPlanEdges(conf)) {
         return plan
       }
     }
@@ -611,7 +616,20 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         val probedBytes: BigInt = ops.map(_.probe).distinct
           .filter(graph.units(_).card >= RptConf.minProbeRows(conf))
           .map(unitLeafBytes).sum
-        (BigDecimal(probedBytes) * RptConf.waveWorkFraction(conf)).toBigInt
+        val fromBytes =
+          (BigDecimal(probedBytes) * RptConf.waveWorkFraction(conf)).toBigInt
+        // DEEP-plan minimum: a join graph at or past deepPlanEdges gets at
+        // least edges/2 flat waves regardless of its byte size. Reductions
+        // compound through every downstream join (the DEEP_PLAN_EDGES
+        // rationale), and byte-small multi-alias topologies explode far
+        // past their scan volume — the JOB 33* two-hub family (aliased
+        // title/movie_link self-joins, ~74 MB of files) measured 2.5-2.9x
+        // WITH transfers and collapsed to 1.0x when a bytes-only budget
+        // stood it down. Shallow plans keep the pure byte budget: their
+        // sub-second tail is what the floor exists to protect.
+        if (graph.edges.size >= RptConf.deepPlanEdges(conf)) {
+          fromBytes.max(BigInt(waveCost) * (graph.edges.size / 2))
+        } else fromBytes
       }
     val admittedWaves = mutable.Set[(Int, String, Boolean)]()
     def waveAdmitted(op: ScheduledOp): Boolean = {

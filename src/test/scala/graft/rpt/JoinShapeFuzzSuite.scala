@@ -418,6 +418,11 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 RptConf.WAVE_WORK_FRACTION -> "1.0",
                 RptConf.WAVE_BUILD_FRACTION ->
                   Seq("0.0", "0.25", "1.0")(seed % 3),
+                // half the slice disables the deep-plan minimum budget so
+                // full stand-downs stay covered on deep generated plans;
+                // the other half exercises the deep-min path itself
+                RptConf.DEEP_PLAN_EDGES ->
+                  Seq("99", "2")(seed % 2),
                 RptConf.WAVE_COST_BYTES ->
                   Seq("4096", "65536", "16777216",
                     "1073741824")(seed % 4))
