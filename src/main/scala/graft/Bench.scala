@@ -27,6 +27,16 @@ package graft
   * up in loadavg; a uniformly slower HOST (slow day on shared hardware)
   * does not — but it scales these probes, so the cross-session ratio
   * normalizes cross-day totals.
+  *
+  * SELF-NORMALIZING HEADLINE: host drift inflates every query near-
+  * uniformly (the r15 slow-IO window: geomean 1.56-1.60x vs pins across
+  * all 86 queries, no outlier), so the artifact also emits
+  * `drift_factor` — the MEDIAN of per-query time/pin ratios, clamped >=1
+  * — and `value_normalized` = value / drift_factor. The median resists a
+  * handful of genuine per-query regressions (those stay visible as
+  * non-uniform ratios and rerun flags); a reader comparing totals across
+  * rounds should prefer `value_normalized`, while per-query pins stay raw
+  * minima (contamination only inflates, so minima are already clean).
   */
 object Bench {
 
@@ -129,6 +139,28 @@ object Bench {
         .map { case (k, vs) => k -> vs.map(_._2).min },
       Some(perFile.flatMap(_._2)).filter(_.nonEmpty).map(_.min),
       Some(perFile.flatMap(_._3)).filter(_.nonEmpty).map(_.min))
+  }
+
+  /** Uniform host-drift estimator: the MEDIAN of per-query time/pin
+    * ratios over queries that have a pin, clamped to >= 1.0. Needs at
+    * least 5 pinned queries to be trustworthy (else 1.0): with fewer, a
+    * couple of genuinely-regressed queries could masquerade as drift.
+    * Keys results by the short registry id exactly like the outlier
+    * guard. */
+  private[graft] def driftFactor(results: Seq[(String, Double)],
+      pins: Map[String, Double]): Double = {
+    val ratios = results.flatMap { case (name, t) =>
+      pins.get(name.split('_').head)
+        .filter(p => p > 0 && t >= 0).map(t / _)
+    }.sorted
+    if (ratios.size < 5) 1.0
+    else {
+      val mid = ratios.size / 2
+      val med =
+        if (ratios.size % 2 == 1) ratios(mid)
+        else (ratios(mid - 1) + ratios(mid)) / 2.0
+      math.max(1.0, med)
+    }
   }
 
   /** Deterministic single-thread CPU calibration: fixed-count xorshift64
@@ -401,6 +433,7 @@ object Bench {
     if (results.exists { case (n, t) => inflated(n, t) }) causes += "inflated"
     val contended = causes.contains("inflated") || causes.contains("load")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val drift = driftFactor(results, pins)
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = load1
     val jvmsAfter = jvmCount
@@ -408,7 +441,10 @@ object Bench {
       s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
       s""""reruns":$rerun,"contended":$contended,""" +
       f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
-      f""""cal_ratio":$calRatio%.2f,"cause":"${causes.mkString("|")}""""
+      f""""cal_ratio":$calRatio%.2f,""" +
+      f""""drift_factor":$drift%.3f,""" +
+      f""""value_normalized":${total / drift}%.3f,""" +
+      f""""cause":"${causes.mkString("|")}""""
     emit(results, total, guard, errJson, sfDir, childOut)
     spark.stop()
   }

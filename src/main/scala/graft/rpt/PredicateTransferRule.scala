@@ -631,6 +631,22 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           fromBytes.max(BigInt(waveCost) * (graph.edges.size / 2))
         } else fromBytes
       }
+    // banked-filter stand-down (RptConf.FILTERED_PROBE_WAVE_MULTIPLE):
+    // a probe site whose scan already carries its own selective static
+    // predicate re-cuts mostly-banked rows — at interactive scale the
+    // pushed filter plus the first cheap join kill those rows anyway
+    // (the measured JOB loser class), so BF/min-max injection there is
+    // gated until the probed unit's scan volume is large enough that
+    // even the post-filter stream amortizes the wave. Probe-side only;
+    // scan pruning and ride-through semis stay exempt.
+    val filteredProbeMult = RptConf.filteredProbeWaveMultiple(conf)
+    val bankedProbeMemo = mutable.HashMap[Int, Boolean]()
+    def probeBanked(probeId: Int): Boolean =
+      waveCost > 0 && filteredProbeMult > 0 &&
+        bankedProbeMemo.getOrElseUpdate(probeId,
+          selectivelyFiltered(graph.units(probeId).plan) &&
+            unitLeafBytes(probeId) <
+              BigInt(waveCost) * BigInt(filteredProbeMult))
     val admittedWaves = mutable.Set[(Int, String, Boolean)]()
     def waveAdmitted(op: ScheduledOp): Boolean = {
       if (waveBudget < 0) true
@@ -773,8 +789,15 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           else cascadePlan
         val conds = mutable.ArrayBuffer[Expression]()
         // the probe-wave floor: only BF/min-max injection consumes the
-        // wave budget; the scan-pruning paths further down are exempt
-        val waveOk = waveAdmitted(op)
+        // wave budget; the scan-pruning paths further down are exempt.
+        // Charge ONLY when this op will actually emit a probe — under
+        // filterType=minmaxOnly with no orderable build-key pair (or both
+        // probe types off) there is nothing to inject, and debiting the
+        // group's wave anyway would silently starve a later injectable op
+        val mmPairs = op.buildKeys.zip(op.probeKeys)
+          .filter { case (bk, _) => RowOrdering.isOrderable(bk.dataType) }
+        val wouldInject = withBf || (withMinmax && mmPairs.nonEmpty)
+        val waveOk = wouldInject && !probeBanked(op.probe) && waveAdmitted(op)
         if (waveOk && withBf) {
           conds += BloomFilterMightContain(
             sharedScalarAgg("bf", {
@@ -803,8 +826,7 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
           // wrap here measurably regressed deep plans
         }
         if (waveOk && withMinmax) {
-          val pairs = op.buildKeys.zip(op.probeKeys)
-            .filter { case (bk, _) => RowOrdering.isOrderable(bk.dataType) }
+          val pairs = mmPairs
           if (literalBnds && pairs.nonEmpty) {
             // two-phase bounds: evaluate min/max NOW and splice literal
             // range predicates — Spark pushes literals into the parquet

@@ -194,6 +194,32 @@ object RptConf {
    *  key and filter columns (projection pushdown), so its cost is a
    *  fraction of the unit's full-width file bytes. */
   val WAVE_BUILD_FRACTION = "spark.graft.rpt.waveBuildBytesFraction"
+  /** Banked-filter stand-down: a probe SITE that already carries its own
+   *  selective static predicate gets most of its cut for free — the
+   *  predicate is pushed into the scan, and in an interactive-scale plan
+   *  the surviving rows die at the first (often broadcast) join anyway,
+   *  so a transfer probe there largely RE-CUTS banked rows while its
+   *  build still costs a full wave. Measured on the 113 real JOB texts
+   *  at factor 0.5 (JOBREAL_r15 + ProbeSites planning sweep): queries
+   *  whose every probe site is statically filtered geomean 0.73×
+   *  broadcast / 0.70× shuffle (8a/8b, 9*, 18b, 19*, 5a, 15a — the
+   *  residual loser class), while queries probing only unfiltered scans
+   *  geomean 2.04×/3.50× with ZERO losers. The redundancy argument is
+   *  scale-bounded: at warehouse scale even the post-filter output is
+   *  huge and reductions compound through shuffles (TPC-H sf10/sf100
+   *  date-filtered lineitem probes win 1.8-3.4×), so the stand-down
+   *  only applies while the probed unit's scan volume is under this
+   *  many waves' worth of bytes ([[WAVE_COST_BYTES]] × this). Default
+   *  64 (512 MB at the 8 MB default wave): above the factor-0.5 IMDB
+   *  fact (338 MB, where transfers on filtered facts measure 0.4-0.8×)
+   *  and below the factor-2 one (1.4 GB, where off-walls are 4× bigger
+   *  and the same transfers amortize). 0 disables (reference-faithful:
+   *  the reference always transfers). Gated by [[WAVE_COST_BYTES]] > 0
+   *  like the rest of the floor; BF/min-max injection only — scan-level
+   *  pruning and ride-through reductions are exempt (file skipping and
+   *  free semi-embeds pay at every scale). */
+  val FILTERED_PROBE_WAVE_MULTIPLE =
+    "spark.graft.rpt.filteredProbeWaveMultiple"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -514,6 +540,8 @@ object RptConf {
     conf.getConfString(WAVE_WORK_FRACTION, "0.15").toDouble
   def waveBuildFraction(conf: SQLConf): Double =
     conf.getConfString(WAVE_BUILD_FRACTION, "0.5").toDouble
+  def filteredProbeWaveMultiple(conf: SQLConf): Long =
+    conf.getConfString(FILTERED_PROBE_WAVE_MULTIPLE, "64").toLong
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def bigBuildProbeFraction(conf: SQLConf): Double =

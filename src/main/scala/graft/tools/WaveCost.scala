@@ -66,6 +66,13 @@ object WaveCost {
     // the floor would stand this byte-tiny star down — hold it open: this
     // tool MEASURES the constant the floor is calibrated from
     spark.conf.set("spark.graft.rpt.waveCostBytes", "0")
+    // the floor charges one flat waveCostBytes per (build, keys, pass)
+    // ADMISSION GROUP; pin filterType=bfOnly so each group plans exactly
+    // one build subquery and the calibration denominator below (non-reused
+    // build subqueries) equals the charge denominator — under
+    // filterType=all a group launches bf + per-pair min/max subqueries
+    // and the constant would be diluted
+    spark.conf.set("spark.graft.rpt.filterType", "bfOnly")
 
     def time(): Double = {
       val t0 = System.nanoTime()
@@ -86,7 +93,9 @@ object WaveCost {
         .count(!_.reused)
     }
     val on = minOf(runs)
-    val perWave = (on - off) / math.max(1, planned)
+    // clamp at 0: (on - off) can dip negative under box noise, and a
+    // negative "fixed cost per wave" is a misleading calibration constant
+    val perWave = math.max(0.0, on - off) / math.max(1, planned)
     println(f"WAVECOST_JSON {" +
       f""""dims":$dims,"probeRows":$probeRows,"runs":$runs,""" +
       f""""waves":$planned,"off":$off%.3f,"on":$on%.3f,""" +

@@ -139,6 +139,31 @@ class BenchGuardSuite extends AnyFunSuite {
     }
   }
 
+  test("drift factor: uniform slow-IO inflation normalizes the headline") {
+    // synthesized slow-IO round (the r15 shape): every query ~3x its pin,
+    // one genuine outlier at 12x — the MEDIAN reads the uniform drift
+    val pins = (1 to 9).map(i => s"q0$i" -> 1.0).toMap
+    val results = (1 to 8).map(i => s"q0${i}_x" -> 3.0) :+ ("q09_x" -> 12.0)
+    val drift = Bench.driftFactor(results, pins)
+    assert(drift === 3.0, s"uniform 3x inflation must read as drift: $drift")
+    // value_normalized = value / drift recovers the clean-box total
+    val total = results.map(_._2).sum
+    assert(math.abs(total / drift - (8 * 1.0 + 4.0)) < 1e-9)
+  }
+
+  test("drift factor: clean box and thin pin coverage read as 1.0") {
+    val pins = (1 to 9).map(i => s"q0$i" -> 2.0).toMap
+    // clean box: ratios hover at/below 1 (pins are cross-round minima)
+    val clean = (1 to 9).map(i => s"q0$i" -> (if (i % 2 == 0) 2.1 else 1.9))
+    assert(Bench.driftFactor(clean, pins) === 1.0)
+    // under 5 pinned queries: not enough evidence to call drift
+    val thin = Seq("q01" -> 9.0, "q02" -> 9.0, "q03" -> 9.0, "q04" -> 9.0)
+    assert(Bench.driftFactor(thin, pins) === 1.0)
+    // error runs (-1) contribute nothing
+    val errs = (1 to 9).map(i => s"q0$i" -> -1.0)
+    assert(Bench.driftFactor(errs, pins) === 1.0)
+  }
+
   test("calibration probes return positive, repeatable timings") {
     val cpu1 = Bench.cpuCalMs()
     val cpu2 = Bench.cpuCalMs()

@@ -1,0 +1,103 @@
+package graft.rpt
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/**
+ * Pins the banked-filter stand-down
+ * ([[RptConf.FILTERED_PROBE_WAVE_MULTIPLE]]): a probe site whose scan
+ * already carries its own selective static predicate accepts no BF/min-max
+ * probe while its scan volume is under the configured number of waves'
+ * worth of bytes — the r16 fix for the measured JOB interactive-scale
+ * loser class (queries probing only filtered scans geomean 0.70-0.73×;
+ * queries probing only unfiltered scans 2.0-3.5× with zero losers).
+ * An unfiltered probe site is never banked; disabling the gate (or the
+ * floor master switch) restores every transfer; the gate is perf-only.
+ */
+class FilteredProbeSuite extends SparkTestBase {
+
+  // lineitem carries its OWN static filter -> its probe site is banked
+  private val filteredProbeSql =
+    """SELECT count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 10 AND o_totalprice > 1000.0
+      |  AND l_quantity < 30""".stripMargin
+
+  // same shape, probe side unfiltered -> never banked
+  private val openProbeSql =
+    """SELECT count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 10 AND o_totalprice > 1000.0""".stripMargin
+
+  private def plannedBuilds(sql: String): Int = {
+    val plan = spark.sql(sql).queryExecution.optimizedPlan
+    val out = collection.mutable.ArrayBuffer[ScalarSubquery]()
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case ss: ScalarSubquery if ss.plan.toString.contains("graft_rpt_bf") =>
+        out += ss
+      case _ => ()
+    }))
+    out.map(_.exprId).distinct.size
+  }
+
+  // floor active (waveCost=1 byte keeps the budget itself non-binding on
+  // the tiny fixture) with a threshold far above any test table
+  private val gateOn = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    RptConf.MIN_PLAN_WORK_BYTES -> "0",
+    RptConf.WAVE_COST_BYTES -> "1",
+    RptConf.WAVE_BUILD_FRACTION -> "0.0",
+    RptConf.FILTERED_PROBE_WAVE_MULTIPLE -> (1L << 40).toString)
+
+  test("banked probe site: filtered probe scan plans no transfer") {
+    val without = withConf(gateOn: _*) { plannedBuilds(filteredProbeSql) }
+    val restored = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PLAN_WORK_BYTES -> "0",
+      RptConf.WAVE_COST_BYTES -> "1",
+      RptConf.WAVE_BUILD_FRACTION -> "0.0",
+      RptConf.FILTERED_PROBE_WAVE_MULTIPLE -> "0") {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(restored > 0, "gate off must restore transfers onto the " +
+      "filtered probe (fixture must plan some)")
+    assert(without == 0,
+      s"filtered probe site must be banked under the gate, got $without")
+  }
+
+  test("unfiltered probe site is never banked") {
+    val open = withConf(gateOn: _*) { plannedBuilds(openProbeSql) }
+    assert(open > 0,
+      "an unfiltered probe scan must keep its transfers under the gate")
+  }
+
+  test("scale escape: a probed unit past the byte threshold keeps probes") {
+    // threshold of 1 wave x 1 byte sits below every table -> nothing is
+    // banked even though the probe is filtered
+    val kept = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PLAN_WORK_BYTES -> "0",
+      RptConf.WAVE_COST_BYTES -> "1",
+      RptConf.WAVE_BUILD_FRACTION -> "0.0",
+      RptConf.FILTERED_PROBE_WAVE_MULTIPLE -> "1") {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(kept > 0, "a big-enough filtered probe must keep its transfers " +
+      "(the sf100 TPC-H date-filtered lineitem case)")
+  }
+
+  test("gate is perf-only: results identical banked vs off") {
+    def run(conf: Seq[(String, String)]): Seq[String] =
+      withConf(conf: _*) { fingerprint(spark.sql(filteredProbeSql)) }
+    val banked = run(gateOn)
+    val off = run(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.WAVE_COST_BYTES -> "0"))
+    assert(banked == off, "banked-filter stand-down must be perf-only")
+  }
+}

@@ -367,6 +367,10 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // straddle the boundary — some plans transfer, some stand down
     val floorKeptPlans = new java.util.concurrent.atomic.AtomicInteger(0)
     val floorStoodDown = new java.util.concurrent.atomic.AtomicInteger(0)
+    // mis-estimated-stats slice (seed%11 == 6): skewed sizeInBytes +
+    // banked-filter ladder must reach both outcomes, never change results
+    val misEstKept = new java.util.concurrent.atomic.AtomicInteger(0)
+    val misEstStood = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -426,6 +430,21 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 RptConf.WAVE_COST_BYTES ->
                   Seq("4096", "65536", "16777216",
                     "1073741824")(seed % 4))
+              case 6 => Seq( // MIS-ESTIMATED stats (VERDICT r15 #8):
+                // openCostInBytes skews every leaf's sizeInBytes by
+                // orders of magnitude in either direction, so the floor
+                // budget AND the banked-filter gate read pure fiction —
+                // a mis-estimated budget must only cost speed, never
+                // results. The filteredProbe ladder spans disabled /
+                // gate-everything / default / gate-nothing.
+                "spark.sql.files.openCostInBytes" ->
+                  Seq("0", "134217728", "1073741824")(seed % 3),
+                RptConf.MIN_PLAN_WORK_BYTES -> Seq("0", "1048576")(seed % 2),
+                RptConf.WAVE_WORK_FRACTION -> "1.0",
+                RptConf.WAVE_COST_BYTES ->
+                  Seq("4096", "16777216", "1073741824")(seed / 3 % 3),
+                RptConf.FILTERED_PROBE_WAVE_MULTIPLE ->
+                  Seq("0", "1048576", "64", "1")(seed % 4))
               case 3 => Seq( // ADVERSARIAL grids: buckets from degenerate 1
                 // (one span-wide anchor) through span-sized (width-1
                 // anchors == the exact key set) to absurdly oversized —
@@ -472,6 +491,11 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                       floorKeptPlans.incrementAndGet()
                     } else floorStoodDown.incrementAndGet()
                   }
+                  if (seed % 11 == 6) {
+                    if (planStr.contains("might_contain")) {
+                      misEstKept.incrementAndGet()
+                    } else misEstStood.incrementAndGet()
+                  }
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
@@ -515,7 +539,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
       s"${rewritten.get} rewritten (first combo per seed), " +
       s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids), " +
       s"${bigBuildPlans.get} relative-admitted big-build plans, " +
-      s"floor slice ${floorKeptPlans.get} kept / ${floorStoodDown.get} stood down")
+      s"floor slice ${floorKeptPlans.get} kept / ${floorStoodDown.get} stood down, " +
+      s"mis-est slice ${misEstKept.get} kept / ${misEstStood.get} stood down")
     // the generator must actually produce cyclic join graphs (multi-parent
     // attaches) at sweep scale, not only trees
     if (nPlans >= 100) assert(cyclesTotal.get > 0,
@@ -536,6 +561,13 @@ class JoinShapeFuzzSuite extends SparkTestBase {
         "work-floor slice never kept a transfer — ladder too high")
       assert(floorStoodDown.get > 0,
         "work-floor slice never stood down — ladder too low")
+      // the mis-estimation slice must be non-vacuous on BOTH sides: some
+      // skewed-stats plans keep transfers, some stand down (banked or
+      // floored on fictional bytes) — and none changed results above
+      assert(misEstKept.get > 0,
+        "mis-est slice never kept a transfer — skew ladder too aggressive")
+      assert(misEstStood.get > 0,
+        "mis-est slice never stood down — skew ladder never bound")
     }
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite

@@ -94,9 +94,22 @@ class WorkFloorSuite extends SparkTestBase {
     val floored = withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       RptConf.WAVE_COST_BYTES -> "8388608") { run() }
+    // the PARTIAL-budget state (same conf as the schedule-order test:
+    // exactly one affordable wave, so some build groups are trimmed and
+    // some admitted) — the mixed state is where a charge-accounting bug
+    // would corrupt results, so it gets its own fingerprint
+    val lineitemBytes = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .queryExecution.optimizedPlan.collectLeaves().head.stats.sizeInBytes
+    val trimmed = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PLAN_WORK_BYTES -> "0",
+      RptConf.WAVE_WORK_FRACTION -> "1.0",
+      RptConf.WAVE_BUILD_FRACTION -> "0.0",
+      RptConf.WAVE_COST_BYTES -> lineitemBytes.toString) { run() }
     val off = withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       RptConf.WAVE_COST_BYTES -> "0") { run() }
     assert(floored == off, "floor must be perf-only")
+    assert(trimmed == off, "partial-budget trim must be perf-only")
   }
 }

@@ -29,11 +29,19 @@ def main() -> None:
             qs[name] = row
         geo = math.exp(
             sum(math.log(v["speedup"]) for v in qs.values()) / len(qs))
+        # the full sweep's regressions block was computed against the
+        # PRE-patch speedups; its pin/now values would contradict the
+        # spliced queries map, so carry it under a provenance-marked key
+        # and drop every flag the patch run re-measured away
+        pre = dict(full[reg].get("regressions", {}))
+        still = {n: r for n, r in pre.items()
+                 if n not in patch[reg]["queries"]}
         out[reg] = {
             "geomean": round(geo, 3),
             "matches": sum(1 for v in qs.values() if v["match"]),
             "total": len(qs),
-            "regressions": full[reg].get("regressions", {}),
+            "regressions": still,
+            "regressions_pre_splice": pre,
             "queries": qs,
         }
     json.dump(out, open(sys.argv[3], "w"))
