@@ -640,13 +640,49 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // even the post-filter stream amortizes the wave. Probe-side only;
     // scan pruning and ride-through semis stay exempt.
     val filteredProbeMult = RptConf.filteredProbeWaveMultiple(conf)
+    val bankedKeep = RptConf.filteredProbeMaxKeep(conf)
     val bankedProbeMemo = mutable.HashMap[Int, Boolean]()
+    // banking is about a PUSHED scan predicate, so it only ever applies
+    // to a plain filtered scan: Filter/Project over one leaf. A derived
+    // unit (joins/aggregates/windows below the probe) never banks — and,
+    // just as important, never reaches the count fallback below, which
+    // would otherwise execute an arbitrary subtree at planning time
+    def simpleScan(p: LogicalPlan): Boolean =
+      p.collectLeaves().sizeIs == 1 && !p.exists {
+        case _: Filter | _: Project | _: LeafNode => false
+        case _ => true
+      }
     def probeBanked(probeId: Int): Boolean =
       waveCost > 0 && filteredProbeMult > 0 &&
-        bankedProbeMemo.getOrElseUpdate(probeId,
-          selectivelyFiltered(graph.units(probeId).plan) &&
-            unitLeafBytes(probeId) <
-              BigInt(waveCost) * BigInt(filteredProbeMult))
+        bankedProbeMemo.getOrElseUpdate(probeId, {
+          val u = graph.units(probeId)
+          selectivelyFiltered(u.plan) && simpleScan(u.plan) &&
+          unitLeafBytes(probeId) <
+            BigInt(waveCost) * BigInt(filteredProbeMult) && {
+            // banked needs a STRONG own filter: a weak one (l_returnflag
+            // IN ('A','N') keeps half the fact) banks almost nothing, and
+            // transfers behind it kept paying on the measured topologies
+            // (JOBTOPO q18 1.17x -> 0.80x under the unconditioned gate).
+            // Preference: the free footer/CBO keep estimate; else an
+            // EXACT planning-time count of the filtered unit — bounded
+            // by the gate's own byte ceiling (the count never scans more
+            // than filteredProbeMult waves' worth of bytes), TTL-cached
+            // across queries, and cheaper than one wrongly-admitted
+            // build wave. The JOB loser filters are string equalities
+            // and LIKEs footers cannot price; counting is what separates
+            // them from the weak string INs that should keep probing.
+            // Unknown (count failed) stays banked: the measured prior
+            // for small filtered probes is the loser class.
+            val keep: Option[Double] = keepEstimate(probeId)
+              .map { case (k, tot) => k / tot }
+              .orElse {
+                if (u.card > 0) {
+                  RuntimeCounts.count(u.plan).map(_.toDouble / u.card)
+                } else None
+              }
+            keep.forall(_ < bankedKeep)
+          }
+        })
     val admittedWaves = mutable.Set[(Int, String, Boolean)]()
     def waveAdmitted(op: ScheduledOp): Boolean = {
       if (waveBudget < 0) true

@@ -220,6 +220,23 @@ object RptConf {
    *  free semi-embeds pay at every scale). */
   val FILTERED_PROBE_WAVE_MULTIPLE =
     "spark.graft.rpt.filteredProbeWaveMultiple"
+  /** Strength condition on [[FILTERED_PROBE_WAVE_MULTIPLE]]: the probe's
+   *  own filter only counts as banked when it keeps LESS than this
+   *  fraction of the unit's rows. A weak filter (`l_returnflag IN
+   *  ('A','N')` keeps half the fact) banks almost nothing — transfers
+   *  behind it kept paying 1.2-2.4× on the measured sf1 topologies,
+   *  and the unconditioned gate turned JOBTOPO q18 1.17×→0.80× — while
+   *  the measured JOB loser filters (`ci.note = '(voice: English
+   *  version)'`, `mi.info IN ('Horror','Thriller')`, name LIKEs) keep
+   *  a few percent. Keep is read from the free footer/CBO estimate
+   *  when the predicate is priceable, else from an exact planning-time
+   *  count of the filtered unit — bounded by the gate's byte ceiling,
+   *  TTL-cached (RuntimeCounts), and cheaper than one wrongly-admitted
+   *  build wave. Unknown keep stays banked (the measured prior for
+   *  small filtered probes is the loser class). Default 0.35: above
+   *  every measured loser filter (≤0.3) and below the weak bridge/hub
+   *  predicates that must keep probing (≥0.45). */
+  val FILTERED_PROBE_MAX_KEEP = "spark.graft.rpt.filteredProbeMaxKeep"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -542,6 +559,8 @@ object RptConf {
     conf.getConfString(WAVE_BUILD_FRACTION, "0.5").toDouble
   def filteredProbeWaveMultiple(conf: SQLConf): Long =
     conf.getConfString(FILTERED_PROBE_WAVE_MULTIPLE, "64").toLong
+  def filteredProbeMaxKeep(conf: SQLConf): Double =
+    conf.getConfString(FILTERED_PROBE_MAX_KEEP, "0.35").toDouble
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def bigBuildProbeFraction(conf: SQLConf): Double =

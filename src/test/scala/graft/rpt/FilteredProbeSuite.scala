@@ -17,8 +17,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
  */
 class FilteredProbeSuite extends SparkTestBase {
 
-  // lineitem carries its OWN static filter -> its probe site is banked
+  // EVERY probe site carries a STRONG own filter (footer-priceable
+  // ranges keeping <35%: l_quantity < 3 ~4%, o_orderdate < 1992-06 ~7%,
+  // p_size < 10 ~18%) -> all sites banked
   private val filteredProbeSql =
+    """SELECT count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 10 AND o_orderdate < DATE'1992-06-01'
+      |  AND l_quantity < 3""".stripMargin
+
+  // WEAK own filter (keeps over half the fact): banks almost nothing,
+  // so the site must keep its probes (the JOBTOPO q18 regression class)
+  private val weakFilterSql =
     """SELECT count(*) AS n
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -74,6 +86,21 @@ class FilteredProbeSuite extends SparkTestBase {
     val open = withConf(gateOn: _*) { plannedBuilds(openProbeSql) }
     assert(open > 0,
       "an unfiltered probe scan must keep its transfers under the gate")
+  }
+
+  test("weak own filter is not banked: the site keeps its probes") {
+    val weak = withConf(gateOn: _*) { plannedBuilds(weakFilterSql) }
+    assert(weak > 0, "a weak probe filter (keeps over maxKeep) banks " +
+      "nothing and must keep its transfers")
+    // lifting the keep ceiling past any possible estimate (a filter the
+    // footers price at keep=1.0 still reads "< 2.0") banks every
+    // filtered site
+    val forced = withConf(
+      (gateOn :+ (RptConf.FILTERED_PROBE_MAX_KEEP -> "2.0")): _*) {
+      plannedBuilds(weakFilterSql)
+    }
+    assert(forced == 0,
+      "maxKeep past 1.0 must bank every small filtered probe site")
   }
 
   test("scale escape: a probed unit past the byte threshold keeps probes") {

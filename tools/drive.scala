@@ -436,7 +436,7 @@ spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 spark.conf.set("spark.graft.rpt.minPlanWorkBytes", "0")
 spark.conf.set("spark.graft.rpt.waveCostBytes", "1")
 spark.conf.set("spark.graft.rpt.waveBuildBytesFraction", "0.0")
-val bkQ = "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey WHERE p_size < 10 AND o_totalprice > 1000.0 AND l_quantity < 30"
+val bkQ = "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey WHERE p_size < 10 AND o_orderdate < DATE'1992-06-01' AND l_quantity < 3"
 spark.conf.set("spark.graft.rpt.filteredProbeWaveMultiple", String.valueOf(1L << 40))
 val bkOn = spark.sql(bkQ)
 val bkProbes = "might_contain".r.findAllIn(bkOn.queryExecution.optimizedPlan.toString).length
