@@ -37,6 +37,12 @@ package graft
   * non-uniform ratios and rerun flags); a reader comparing totals across
   * rounds should prefer `value_normalized`, while per-query pins stay raw
   * minima (contamination only inflates, so minima are already clean).
+  * The claim is CROSS-CHECKED against the host calibration probes (see
+  * [[appliedDrift]]): the raw median is emitted as `drift_median`,
+  * `drift_factor` is the calibration-gated value actually applied, and a
+  * median the probes can't explain keeps the raw headline and adds
+  * `drift_unexplained` to the cause list — so a uniform code tax in the
+  * binary under test cannot normalize itself away.
   */
 object Bench {
 
@@ -162,6 +168,21 @@ object Bench {
       math.max(1.0, med)
     }
   }
+
+  /** Calibration cross-check on the drift claim: pins are cross-round
+    * MINIMA of query times, so a genuine uniform regression shipped by
+    * the binary under test (a rule that taxes every query 1.5×) is
+    * indistinguishable from host drift in the time/pin ratios alone —
+    * the cal_cpu/cal_io probes measure the HOST, not the binary, and are
+    * the independent witness. Drift is only claimed when calibration
+    * agrees the box is slow (cal_ratio > 1.2), and never normalizes past
+    * 1.5× what calibration can explain (the probes approximate; r16's
+    * genuine drift read cal 1.43 / median 1.61). A clean-calibration box
+    * with inflated ratios keeps the RAW headline and flags
+    * `drift_unexplained` — that shape is a code tax, not drift. */
+  private[graft] def appliedDrift(median: Double, calRatio: Double): Double =
+    if (calRatio > 1.2) math.max(1.0, math.min(median, calRatio * 1.5))
+    else 1.0
 
   /** Deterministic single-thread CPU calibration: fixed-count xorshift64
     * loop, min of 3 (first run absorbs JIT). The absolute value is
@@ -433,7 +454,13 @@ object Bench {
     if (results.exists { case (n, t) => inflated(n, t) }) causes += "inflated"
     val contended = causes.contains("inflated") || causes.contains("load")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val drift = driftFactor(results, pins)
+    val driftMedian = driftFactor(results, pins)
+    val drift = appliedDrift(driftMedian, calRatio)
+    // material drift the calibration probes cannot explain: surface it
+    // instead of silently normalizing — a uniform code tax looks exactly
+    // like drift in the ratios, and only the host probes can tell
+    if (driftMedian > 1.25 && drift < driftMedian - 1e-9)
+      causes += "drift_unexplained"
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = load1
     val jvmsAfter = jvmCount
@@ -442,6 +469,7 @@ object Bench {
       s""""reruns":$rerun,"contended":$contended,""" +
       f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
       f""""cal_ratio":$calRatio%.2f,""" +
+      f""""drift_median":$driftMedian%.3f,""" +
       f""""drift_factor":$drift%.3f,""" +
       f""""value_normalized":${total / drift}%.3f,""" +
       f""""cause":"${causes.mkString("|")}""""

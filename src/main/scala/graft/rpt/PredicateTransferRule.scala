@@ -652,6 +652,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         case _: Filter | _: Project | _: LeafNode => false
         case _ => true
       }
+    // the count fallback executes the filtered scan at planning time, so
+    // its condition must be self-contained: a ScalarSubquery inside the
+    // Filter would drag an arbitrary user subtree (over tables the gate's
+    // byte ceiling never saw) into the count, and a non-deterministic
+    // predicate would count a different sample than the query runs
+    def countSafe(p: LogicalPlan): Boolean = !p.exists {
+      case Filter(c, _) =>
+        c.exists(_.isInstanceOf[SubqueryExpression]) || !c.deterministic
+      case _ => false
+    }
     def probeBanked(probeId: Int): Boolean =
       waveCost > 0 && filteredProbeMult > 0 &&
         bankedProbeMemo.getOrElseUpdate(probeId, {
@@ -676,7 +686,13 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
             val keep: Option[Double] = keepEstimate(probeId)
               .map { case (k, tot) => k / tot }
               .orElse {
-                if (u.card > 0) {
+                // denominator must be a REAL row count: for
+                // cardMeasured=false units card is the sizeInBytes/32
+                // proxy and the ratio would be fiction; and the count
+                // itself only runs over a subquery-free deterministic
+                // filter (see countSafe) — otherwise stay on the
+                // banked-by-prior default below
+                if (u.cardMeasured && u.card > 0 && countSafe(u.plan)) {
                   RuntimeCounts.count(u.plan).map(_.toDouble / u.card)
                 } else None
               }

@@ -151,6 +151,23 @@ class BenchGuardSuite extends AnyFunSuite {
     assert(math.abs(total / drift - (8 * 1.0 + 4.0)) < 1e-9)
   }
 
+  test("drift claim is gated by host calibration: a uniform code tax on " +
+      "a clean box does NOT normalize") {
+    // the r16-verdict hazard: pins are cross-round minima, so a binary
+    // that taxes every query 1.5x reads EXACTLY like host drift in the
+    // time/pin median — only the host probes can tell them apart.
+    // Clean calibration (cal_ratio ~1.0) => raw headline, no normalization
+    assert(Bench.appliedDrift(3.0, 1.0) === 1.0)
+    assert(Bench.appliedDrift(1.5, 1.19) === 1.0)
+    // calibration agrees the box is slow => the median is applied
+    // (the genuine r16 shape: cal 1.43, median 1.61)
+    assert(Bench.appliedDrift(1.61, 1.43) === 1.61)
+    // but never past 1.5x what calibration can explain
+    assert(Bench.appliedDrift(4.0, 1.43) === 1.43 * 1.5)
+    // and never below 1 (fast box, median at 1)
+    assert(Bench.appliedDrift(1.0, 2.0) === 1.0)
+  }
+
   test("drift factor: clean box and thin pin coverage read as 1.0") {
     val pins = (1 to 9).map(i => s"q0$i" -> 2.0).toMap
     // clean box: ratios hover at/below 1 (pins are cross-round minima)

@@ -371,6 +371,12 @@ class JoinShapeFuzzSuite extends SparkTestBase {
     // banked-filter ladder must reach both outcomes, never change results
     val misEstKept = new java.util.concurrent.atomic.AtomicInteger(0)
     val misEstStood = new java.util.concurrent.atomic.AtomicInteger(0)
+    // probe-feedback x banked-filter composition slice (seed%11 == 1): both
+    // paths suppress probes on overlapping signals — plans with zero
+    // surviving probes are legal, but the composition must not suppress
+    // everything across the slice, and results must stay identical
+    val fbBankKept = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fbBankStood = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val chunks = (1 to nPlans).grouped(math.max(1, nPlans / nThreads + 1)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.size)
@@ -395,7 +401,19 @@ class JoinShapeFuzzSuite extends SparkTestBase {
               case 0 => Seq(
                 RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1",
                 RptConf.RANGE_SUMMARY_FALLBACK -> "true")
-              case 1 => Seq(RptConf.PROBE_FEEDBACK -> "true")
+              case 1 => Seq( // probe-feedback x banked-filter COMPOSITION:
+                // both paths suppress probes (feedback drops measured
+                // no-op filters, banking stands down filtered probe
+                // sites); the ladder spans default through
+                // bank-everything (huge multiple + keep threshold 1.0,
+                // so any measured keep banks). Zero-probe plans are
+                // legal; the slice counters assert the composition
+                // doesn't deadlock into suppressing every plan
+                RptConf.PROBE_FEEDBACK -> "true",
+                RptConf.FILTERED_PROBE_WAVE_MULTIPLE ->
+                  Seq("64", "1048576")(seed % 2),
+                RptConf.FILTERED_PROBE_MAX_KEEP ->
+                  Seq("0.35", "1.0")(seed / 2 % 2))
               case 2 => Seq( // quantized over-cap alone (default-on path):
                 // every build over the cap, anchors through the DPS channel
                 RptConf.V2_SCAN_FILTER_MAX_BUILD_ROWS -> "-1")
@@ -443,6 +461,14 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                 RptConf.WAVE_WORK_FRACTION -> "1.0",
                 RptConf.WAVE_COST_BYTES ->
                   Seq("4096", "16777216", "1073741824")(seed / 3 % 3),
+                // half the slice disables the deep-plan minimum budget
+                // (as the work-floor slice does): every generated plan is
+                // >= 5 tables, so with deep-min on, edges/2 funded waves
+                // make the 1 GB wave-cost rungs vacuous — the stood-down
+                // side was 0/18 at the default sweep scale (r16 red test).
+                // With deep-min off, seed 6 (openCost 0, wave cost 1 GB,
+                // tiny true bytes) deterministically stands fully down.
+                RptConf.DEEP_PLAN_EDGES -> Seq("99", "6")(seed % 2),
                 RptConf.FILTERED_PROBE_WAVE_MULTIPLE ->
                   Seq("0", "1048576", "64", "1")(seed % 4))
               case 3 => Seq( // ADVERSARIAL grids: buckets from degenerate 1
@@ -496,6 +522,11 @@ class JoinShapeFuzzSuite extends SparkTestBase {
                       misEstKept.incrementAndGet()
                     } else misEstStood.incrementAndGet()
                   }
+                  if (seed % 11 == 1) {
+                    if (planStr.contains("might_contain")) {
+                      fbBankKept.incrementAndGet()
+                    } else fbBankStood.incrementAndGet()
+                  }
                 }
                 val on = fp(gen.df)
                 if (on != off) failures.add(
@@ -540,7 +571,8 @@ class JoinShapeFuzzSuite extends SparkTestBase {
       s"${quantGridPlans.get} over-cap in-scan plans (incl. adversarial grids), " +
       s"${bigBuildPlans.get} relative-admitted big-build plans, " +
       s"floor slice ${floorKeptPlans.get} kept / ${floorStoodDown.get} stood down, " +
-      s"mis-est slice ${misEstKept.get} kept / ${misEstStood.get} stood down")
+      s"mis-est slice ${misEstKept.get} kept / ${misEstStood.get} stood down, " +
+      s"feedback+bank slice ${fbBankKept.get} kept / ${fbBankStood.get} suppressed")
     // the generator must actually produce cyclic join graphs (multi-parent
     // attaches) at sweep scale, not only trees
     if (nPlans >= 100) assert(cyclesTotal.get > 0,
@@ -568,6 +600,10 @@ class JoinShapeFuzzSuite extends SparkTestBase {
         "mis-est slice never kept a transfer — skew ladder too aggressive")
       assert(misEstStood.get > 0,
         "mis-est slice never stood down — skew ladder never bound")
+      // the feedback x banked composition must not suppress every plan —
+      // a double-suppression deadlock would show as zero kept transfers
+      assert(fbBankKept.get > 0,
+        "feedback+bank slice suppressed every probe — composition deadlock")
     }
     // the generator must reach real JOB widths, and the sweep must actually
     // exercise the rewrite

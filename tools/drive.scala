@@ -1,6 +1,9 @@
-// End-to-end drive at the library package boundary (the /verify recipe):
-// fixture views, round-7 operators through the public registry, and the
-// RPT rule-on/off differential with probe counts. Run with:
+// End-to-end drive at the library package boundary (the /verify recipe),
+// SESSION 1 of 2: fixture views, operators through the public registry, and
+// the RPT rule-on/off differential with probe counts. Session 2 is
+// tools/drive2.scala (banked-filter differentials) — split because the
+// REPL's resident compiler deterministically crashes past ~700 accumulated
+// statements in one session. Run BOTH; each must print ALL CHECKS PASSED:
 //   sbt -batch package
 //   /opt/spark/bin/spark-shell --master 'local[8]' \
 //     --jars target/scala-2.13/duckdbrobustpredicatetransferspark_2.13-0.1.0.jar \
@@ -427,39 +430,9 @@ check(flOpenProbes > 0, "waveCostBytes=0 must restore transfers")
 check(flRes == flOpenRes, "work floor changed results")
 check(pgS.count() == pgB.count() && pgS.count() > 0, "persisted vs streamed pair sets differ")
 
-// --- round 16: banked-filter stand-down (filteredProbeWaveMultiple).
-// A probe site carrying its own selective static predicate accepts no
-// BF probe while its scan volume is under the threshold; an unfiltered
-// probe site never banks; 0 disables; the gate is perf-only.
-spark.conf.set("spark.graft.rpt.minProbeRows", "0")
-spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-spark.conf.set("spark.graft.rpt.minPlanWorkBytes", "0")
-spark.conf.set("spark.graft.rpt.waveCostBytes", "1")
-spark.conf.set("spark.graft.rpt.waveBuildBytesFraction", "0.0")
-val bkQ = "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey WHERE p_size < 10 AND o_orderdate < DATE'1992-06-01' AND l_quantity < 3"
-spark.conf.set("spark.graft.rpt.filteredProbeWaveMultiple", String.valueOf(1L << 40))
-val bkOn = spark.sql(bkQ)
-val bkProbes = "might_contain".r.findAllIn(bkOn.queryExecution.optimizedPlan.toString).length
-val bkRes = bkOn.collect().map(_.toString).sorted.toSeq
-spark.conf.set("spark.graft.rpt.filteredProbeWaveMultiple", "0")
-val bkOff = spark.sql(bkQ)
-val bkOffProbes = "might_contain".r.findAllIn(bkOff.queryExecution.optimizedPlan.toString).length
-val bkOffRes = bkOff.collect().map(_.toString).sorted.toSeq
-spark.conf.set("spark.graft.rpt.filteredProbeWaveMultiple", String.valueOf(1L << 40))
-val bkOpenQ = "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey WHERE p_size < 10 AND o_totalprice > 1000.0"
-val bkOpenProbes = "might_contain".r.findAllIn(spark.sql(bkOpenQ).queryExecution.optimizedPlan.toString).length
-spark.conf.unset("spark.graft.rpt.filteredProbeWaveMultiple")
-spark.conf.unset("spark.graft.rpt.minPlanWorkBytes")
-spark.conf.unset("spark.graft.rpt.waveCostBytes")
-spark.conf.unset("spark.graft.rpt.waveBuildBytesFraction")
-spark.conf.set("spark.graft.rpt.minProbeRows", "65536")
-spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-println(s"[drive] bankedFilter gated=$bkProbes restored=$bkOffProbes open=$bkOpenProbes resultsEqual=${bkRes == bkOffRes}")
-check(bkProbes == 0, "filtered probe site must be banked under the gate")
-check(bkOffProbes > 0, "filteredProbeWaveMultiple=0 must restore transfers")
-check(bkOpenProbes > 0, "unfiltered probe site must keep transfers under the gate")
-check(bkRes == bkOffRes, "banked-filter gate changed results")
-
-val driveExpected = 63
+// (The banked-filter stand-down differentials live in tools/drive2.scala —
+// a second shell session, because the REPL's resident compiler crashes
+// after ~700 accumulated statements in one session. Run both.)
+val driveExpected = 59
 if (driveFailures == 0 && driveChecksRun == driveExpected) println("[drive] ALL CHECKS PASSED") else println(s"[drive] FAILED: $driveFailures failed, $driveChecksRun/$driveExpected checks ran")
 System.exit(if (driveFailures == 0 && driveChecksRun == driveExpected) 0 else 1)

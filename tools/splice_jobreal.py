@@ -36,6 +36,10 @@ def main() -> None:
         pre = dict(full[reg].get("regressions", {}))
         still = {n: r for n, r in pre.items()
                  if n not in patch[reg]["queries"]}
+        # a query the patch run re-measured AND STILL flags must keep its
+        # flag (with the post-patch pin/now values) — dropping it would
+        # silently launder a live regression out of the spliced artifact
+        still.update(patch[reg].get("regressions", {}))
         out[reg] = {
             "geomean": round(geo, 3),
             "matches": sum(1 for v in qs.values() if v["match"]),
