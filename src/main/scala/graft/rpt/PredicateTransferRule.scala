@@ -610,12 +610,81 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val unitBytesMemo = mutable.HashMap[Int, BigInt]()
     def unitLeafBytes(id: Int): BigInt = unitBytesMemo.getOrElseUpdate(id,
       graph.units(id).plan.collectLeaves().map(_.stats.sizeInBytes).sum)
+    // --- banked-filter gate constants and shared keep measurement (used
+    // by BOTH the budget below and the stand-down gate further down) ---
+    val filteredProbeMult = RptConf.filteredProbeWaveMultiple(conf)
+    val bankedKeep = RptConf.filteredProbeMaxKeep(conf)
+    val fpExtendF = RptConf.filteredProbeExtendFactor(conf)
+    val fpKeptMult = RptConf.filteredProbeKeptWaveMultiple(conf)
+    def fpBase: BigInt = BigInt(waveCost) * BigInt(filteredProbeMult)
+    // banking (and keep measurement generally) is about a PUSHED scan
+    // predicate, so it only ever applies to a plain filtered scan:
+    // Filter/Project over one leaf. A derived unit (joins/aggregates/
+    // windows below the probe) never qualifies — and, just as important,
+    // never reaches the count fallback, which would otherwise execute an
+    // arbitrary subtree at planning time
+    def simpleScan(p: LogicalPlan): Boolean =
+      p.collectLeaves().sizeIs == 1 && !p.exists {
+        case _: Filter | _: Project | _: LeafNode => false
+        case _ => true
+      }
+    // the count fallback executes the filtered scan at planning time, so
+    // its condition must be self-contained: a ScalarSubquery inside the
+    // Filter would drag an arbitrary user subtree (over tables the gate's
+    // byte ceiling never saw) into the count, and a non-deterministic
+    // predicate would count a different sample than the query runs
+    def countSafe(p: LogicalPlan): Boolean = !p.exists {
+      case Filter(c, _) =>
+        c.exists(_.isInstanceOf[SubqueryExpression]) || !c.deterministic
+      case _ => false
+    }
+    // measured keep fraction of a unit's OWN static filter. Preference:
+    // the free footer/CBO estimate; else an EXACT planning-time count of
+    // the filtered unit — only ever evaluated for single-leaf scans under
+    // the gate's band top (callers check the byte band first), TTL-cached
+    // across queries (RuntimeCounts), and cheaper than one
+    // wrongly-admitted build wave. The denominator must be a REAL row
+    // count: for cardMeasured=false units card is the sizeInBytes/32
+    // proxy and the ratio would be fiction.
+    val keepMemo = mutable.HashMap[Int, Option[Double]]()
+    def measuredKeep(id: Int): Option[Double] = keepMemo.getOrElseUpdate(id, {
+      val u = graph.units(id)
+      keepEstimate(id).map { case (k, tot) => k / tot }.orElse {
+        if (u.cardMeasured && u.card > 0 && countSafe(u.plan)) {
+          RuntimeCounts.count(u.plan).map(_.toDouble / u.card)
+        } else None
+      }
+    })
+    def inExtendedBand(bytes: BigInt): Boolean =
+      waveCost > 0 && filteredProbeMult > 0 && fpExtendF > 0 &&
+        bytes >= fpBase && bytes < fpBase * BigInt(fpExtendF)
+    // EFFECTIVE probe bytes: the budget prices downstream payoff by the
+    // data the probes cut, and for a statically-filtered probe site that
+    // is the POST-FILTER stream, not the raw scan. Pricing 18b's 1.48 GB
+    // cast_info at face value funded fact-fraction builds against a
+    // 148 MB (10% keep) probe stream — the measured factor-2 residual
+    // (JOBREAL_F2_r17 part 2: 18b 0.69x broadcast on the
+    // kept-ceiling-only binary). Scoped to the extended band so base-band
+    // (interactive-scale) budgets stay byte-identical to r16, and to
+    // MEASURED keeps only (unknown keeps price raw — conservative).
+    def effectiveUnitBytes(id: Int): BigInt = {
+      val bytes = unitLeafBytes(id)
+      val u = graph.units(id)
+      if (inExtendedBand(bytes) && selectivelyFiltered(u.plan) &&
+          simpleScan(u.plan)) {
+        measuredKeep(id) match {
+          case Some(k) if k >= 0 && k <= 1 =>
+            (BigDecimal(bytes) * BigDecimal(k)).toBigInt.max(BigInt(1))
+          case _ => bytes
+        }
+      } else bytes
+    }
     var waveBudget: BigInt =
       if (waveCost <= 0) BigInt(-1)
       else {
         val probedBytes: BigInt = ops.map(_.probe).distinct
           .filter(graph.units(_).card >= RptConf.minProbeRows(conf))
-          .map(unitLeafBytes).sum
+          .map(effectiveUnitBytes).sum
         val fromBytes =
           (BigDecimal(probedBytes) * RptConf.waveWorkFraction(conf)).toBigInt
         // DEEP-plan minimum: a join graph at or past deepPlanEdges gets at
@@ -638,65 +707,36 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // (the measured JOB loser class), so BF/min-max injection there is
     // gated until the probed unit's scan volume is large enough that
     // even the post-filter stream amortizes the wave. Probe-side only;
-    // scan pruning and ride-through semis stay exempt.
-    val filteredProbeMult = RptConf.filteredProbeWaveMultiple(conf)
-    val bankedKeep = RptConf.filteredProbeMaxKeep(conf)
+    // scan pruning and ride-through semis stay exempt. Banking needs a
+    // STRONG own filter: a weak one (l_returnflag IN ('A','N') keeps
+    // half the fact) banks almost nothing, and transfers behind it kept
+    // paying on the measured topologies (JOBTOPO q18 1.17x -> 0.80x
+    // under the unconditioned gate); the measured JOB loser filters
+    // (string equalities and LIKEs footers cannot price) keep a few
+    // percent — the count fallback inside measuredKeep is what
+    // separates them from the weak string INs that must keep probing.
+    // In the BASE band an unknown keep stays banked (the measured prior
+    // for small filtered probes is the loser class); the mid-scale
+    // EXTENDED band (base to base x extendFactor) banks only on a
+    // MEASURED keep whose post-filter volume (keep x scan bytes) is
+    // under the kept-waves ceiling — banking a GB-scale probe on a
+    // prior would gamble real wall-clock (see
+    // RptConf.FILTERED_PROBE_KEPT_WAVE_MULTIPLE for the factor-2
+    // evidence).
     val bankedProbeMemo = mutable.HashMap[Int, Boolean]()
-    // banking is about a PUSHED scan predicate, so it only ever applies
-    // to a plain filtered scan: Filter/Project over one leaf. A derived
-    // unit (joins/aggregates/windows below the probe) never banks — and,
-    // just as important, never reaches the count fallback below, which
-    // would otherwise execute an arbitrary subtree at planning time
-    def simpleScan(p: LogicalPlan): Boolean =
-      p.collectLeaves().sizeIs == 1 && !p.exists {
-        case _: Filter | _: Project | _: LeafNode => false
-        case _ => true
-      }
-    // the count fallback executes the filtered scan at planning time, so
-    // its condition must be self-contained: a ScalarSubquery inside the
-    // Filter would drag an arbitrary user subtree (over tables the gate's
-    // byte ceiling never saw) into the count, and a non-deterministic
-    // predicate would count a different sample than the query runs
-    def countSafe(p: LogicalPlan): Boolean = !p.exists {
-      case Filter(c, _) =>
-        c.exists(_.isInstanceOf[SubqueryExpression]) || !c.deterministic
-      case _ => false
-    }
     def probeBanked(probeId: Int): Boolean =
       waveCost > 0 && filteredProbeMult > 0 &&
         bankedProbeMemo.getOrElseUpdate(probeId, {
           val u = graph.units(probeId)
-          selectivelyFiltered(u.plan) && simpleScan(u.plan) &&
-          unitLeafBytes(probeId) <
-            BigInt(waveCost) * BigInt(filteredProbeMult) && {
-            // banked needs a STRONG own filter: a weak one (l_returnflag
-            // IN ('A','N') keeps half the fact) banks almost nothing, and
-            // transfers behind it kept paying on the measured topologies
-            // (JOBTOPO q18 1.17x -> 0.80x under the unconditioned gate).
-            // Preference: the free footer/CBO keep estimate; else an
-            // EXACT planning-time count of the filtered unit — bounded
-            // by the gate's own byte ceiling (the count never scans more
-            // than filteredProbeMult waves' worth of bytes), TTL-cached
-            // across queries, and cheaper than one wrongly-admitted
-            // build wave. The JOB loser filters are string equalities
-            // and LIKEs footers cannot price; counting is what separates
-            // them from the weak string INs that should keep probing.
-            // Unknown (count failed) stays banked: the measured prior
-            // for small filtered probes is the loser class.
-            val keep: Option[Double] = keepEstimate(probeId)
-              .map { case (k, tot) => k / tot }
-              .orElse {
-                // denominator must be a REAL row count: for
-                // cardMeasured=false units card is the sizeInBytes/32
-                // proxy and the ratio would be fiction; and the count
-                // itself only runs over a subquery-free deterministic
-                // filter (see countSafe) — otherwise stay on the
-                // banked-by-prior default below
-                if (u.cardMeasured && u.card > 0 && countSafe(u.plan)) {
-                  RuntimeCounts.count(u.plan).map(_.toDouble / u.card)
-                } else None
-              }
-            keep.forall(_ < bankedKeep)
+          val bytes = unitLeafBytes(probeId)
+          val inBase = bytes < fpBase
+          (inBase || inExtendedBand(bytes)) &&
+          selectivelyFiltered(u.plan) && simpleScan(u.plan) && {
+            val keep = measuredKeep(probeId)
+            if (inBase) keep.forall(_ < bankedKeep)
+            else keep.exists(k => k < bankedKeep &&
+              BigDecimal(k) * BigDecimal(bytes) <
+                BigDecimal(waveCost) * BigDecimal(fpKeptMult))
           }
         })
     val admittedWaves = mutable.Set[(Int, String, Boolean)]()

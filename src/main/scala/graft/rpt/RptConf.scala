@@ -211,10 +211,15 @@ object RptConf {
    *  only applies while the probed unit's scan volume is under this
    *  many waves' worth of bytes ([[WAVE_COST_BYTES]] × this). Default
    *  64 (512 MB at the 8 MB default wave): above the factor-0.5 IMDB
-   *  fact (338 MB, where transfers on filtered facts measure 0.4-0.8×)
-   *  and below the factor-2 one (1.4 GB, where off-walls are 4× bigger
-   *  and the same transfers amortize). 0 disables (reference-faithful:
-   *  the reference always transfers). Gated by [[WAVE_COST_BYTES]] > 0
+   *  fact (338 MB, where transfers on filtered facts measure 0.4-0.8×).
+   *  The original r16 justification for the top of this ceiling — "at
+   *  the factor-2 fact (1.4 GB) off-walls are 4× bigger and the same
+   *  transfers amortize" — was REFUTED by the shipped-binary factor-2
+   *  measurement (JOBREAL_F2_r17, runs=3: the filtered-probe class
+   *  still loses 0.64-0.74×); the mid-band is now covered by the
+   *  measured-keep extension, [[FILTERED_PROBE_KEPT_WAVE_MULTIPLE]].
+   *  0 disables (reference-faithful: the reference always transfers;
+   *  also disables the extension). Gated by [[WAVE_COST_BYTES]] > 0
    *  like the rest of the floor; BF/min-max injection only — scan-level
    *  pruning and ride-through reductions are exempt (file skipping and
    *  free semi-embeds pay at every scale). */
@@ -237,6 +242,37 @@ object RptConf {
    *  every measured loser filter (≤0.3) and below the weak bridge/hub
    *  predicates that must keep probing (≥0.45). */
   val FILTERED_PROBE_MAX_KEEP = "spark.graft.rpt.filteredProbeMaxKeep"
+  /** Mid-scale EXTENSION of the banked-filter stand-down: a filtered
+   *  probe site whose scan volume is past the base ceiling
+   *  ([[FILTERED_PROBE_WAVE_MULTIPLE]] waves) but under base ×
+   *  [[FILTERED_PROBE_EXTEND_FACTOR]] still banks when its MEASURED
+   *  post-filter volume (keep fraction × scan bytes) stays under
+   *  [[FILTERED_PROBE_KEPT_WAVE_MULTIPLE]] waves' worth of bytes. The
+   *  base ceiling's own justification ("at factor 2 the off-walls are 4×
+   *  bigger and the same transfers amortize") was REFUTED by measurement
+   *  (JOBREAL_F2_r17: 8b 0.64×, 31b 0.73×, 18b 0.74× broadcast at the
+   *  1.4 GB factor-2 facts, runs=3) — the re-cut mechanism is
+   *  scale-invariant when the filter is sharp: survivors of a 2-3% keep
+   *  are tens of MB at any fact size and die at the first join either
+   *  way, while the build still costs a wave. What separates those
+   *  losers from the mid-band WINNERS the byte ceiling alone cannot
+   *  (TPC-H sf10 date-filtered lineitem, ~1.2 GB scan, probes win
+   *  1.8-3.4×: RPTBENCH_sf10_r11) is the kept VOLUME: a ~14% date keep
+   *  leaves ~170 MB feeding deep shuffles — the probe's cut still pays —
+   *  while the measured loser filters keep ≤3% (≤30 MB). Defaults: keep
+   *  ceiling 8 waves (64 MB at the 8 MB wave), extend factor 4 (2 GB
+   *  band top at defaults). In the extended band the keep must be
+   *  MEASURED (footer/CBO/count) — an unknown keep does NOT bank there,
+   *  unlike the base band's bank-on-prior; the exact count stays bounded
+   *  by the band top. Past the band top nothing ever banks (the sf100
+   *  14 GB facts are unreachable, and their filtered probes are measured
+   *  winners). 0 disables the extension (base-band behavior only). */
+  val FILTERED_PROBE_KEPT_WAVE_MULTIPLE =
+    "spark.graft.rpt.filteredProbeKeptWaveMultiple"
+  /** See [[FILTERED_PROBE_KEPT_WAVE_MULTIPLE]]: the extended band's top,
+   *  as a multiple of the base ceiling. */
+  val FILTERED_PROBE_EXTEND_FACTOR =
+    "spark.graft.rpt.filteredProbeExtendFactor"
   /** Skip ops whose BUILD side exceeds this estimated cardinality —
    *  building a bloom filter over a huge side costs more than the probe
    *  saves (mirrors runtime.bloomFilter.creationSideThreshold). */
@@ -561,6 +597,10 @@ object RptConf {
     conf.getConfString(FILTERED_PROBE_WAVE_MULTIPLE, "64").toLong
   def filteredProbeMaxKeep(conf: SQLConf): Double =
     conf.getConfString(FILTERED_PROBE_MAX_KEEP, "0.35").toDouble
+  def filteredProbeKeptWaveMultiple(conf: SQLConf): Long =
+    conf.getConfString(FILTERED_PROBE_KEPT_WAVE_MULTIPLE, "8").toLong
+  def filteredProbeExtendFactor(conf: SQLConf): Long =
+    conf.getConfString(FILTERED_PROBE_EXTEND_FACTOR, "4").toLong
   def maxBuildRows(conf: SQLConf): Long =
     conf.getConfString(MAX_BUILD_ROWS, "8000000").toLong
   def bigBuildProbeFraction(conf: SQLConf): Double =

@@ -118,6 +118,86 @@ class FilteredProbeSuite extends SparkTestBase {
       "(the sf100 TPC-H date-filtered lineitem case)")
   }
 
+  // --- r17 mid-scale extension (FILTERED_PROBE_KEPT_WAVE_MULTIPLE): a
+  // site past the base ceiling still banks when its MEASURED post-filter
+  // volume is under the kept-waves ceiling — the factor-2 loser fix
+  // (JOBREAL_F2_r17). Confs are sized from the fixture's actual stats so
+  // the lineitem scan lands in the extended band (base < bytes < 4x base).
+  private def lineitemBytes: Long =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+
+  private def extBandConf(keptMult: Long, extendF: Long = 4) = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    RptConf.MIN_PLAN_WORK_BYTES -> "0",
+    RptConf.WAVE_COST_BYTES -> "1",
+    RptConf.WAVE_BUILD_FRACTION -> "0.0",
+    // base = bytes/2 < bytes < 2x bytes = band top (extendFactor 4)
+    RptConf.FILTERED_PROBE_WAVE_MULTIPLE -> (lineitemBytes / 2).toString,
+    RptConf.FILTERED_PROBE_KEPT_WAVE_MULTIPLE -> keptMult.toString,
+    RptConf.FILTERED_PROBE_EXTEND_FACTOR -> extendF.toString)
+
+  test("extended band: strong measured keep with tiny kept volume banks") {
+    // l_quantity < 3 keeps ~4% -> kept bytes ~0.04 x scan, far under a
+    // kept-ceiling of the full scan size -> banked
+    val banked = withConf(extBandConf(keptMult = lineitemBytes): _*) {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(banked == 0, "extended band with tiny measured kept volume " +
+      s"must bank the probe site, planned $banked builds")
+  }
+
+  test("extended band: kept volume past the kept-waves ceiling escapes") {
+    // kept ceiling of 1 byte: even a 4% keep of the scan exceeds it ->
+    // the probe site keeps its transfers (the sf10 date-filter class,
+    // ~14% keep x 1.2 GB = 170 MB of survivors feeding deep shuffles)
+    val kept = withConf(extBandConf(keptMult = 1): _*) {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(kept > 0, "a mid-band site whose post-filter volume exceeds " +
+      "the kept ceiling must keep its transfers")
+  }
+
+  test("extended band: extension disabled (factor 0) never banks there") {
+    val kept = withConf(extBandConf(keptMult = lineitemBytes, extendF = 0): _*) {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(kept > 0,
+      "extendFactor=0 must restore base-band-only behavior")
+  }
+
+  test("extended band: unknown keep does NOT bank (base-band prior only)") {
+    // a scalar-subquery filter is unpriceable (footers/CBO can't, and
+    // countSafe refuses to execute it) -> keep unknown -> the extended
+    // band must keep the probes, unlike the base band's bank-on-prior
+    val subquerySql =
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10 AND o_orderdate < DATE'1992-06-01'
+        |  AND l_quantity < (SELECT min(l_quantity) + 2 FROM lineitem)""".stripMargin
+    val kept = withConf(extBandConf(keptMult = lineitemBytes): _*) {
+      plannedBuilds(subquerySql)
+    }
+    assert(kept > 0,
+      "unknown keep in the extended band must not bank")
+    // same query in the BASE band (huge base ceiling) banks on the prior
+    val banked = withConf(gateOn: _*) { plannedBuilds(subquerySql) }
+    assert(banked == 0,
+      "unknown keep in the base band must bank on the measured prior")
+  }
+
+  test("extended band is perf-only: results identical banked vs off") {
+    def run(conf: Seq[(String, String)]): Seq[String] =
+      withConf(conf: _*) { fingerprint(spark.sql(filteredProbeSql)) }
+    val banked = run(extBandConf(keptMult = lineitemBytes))
+    val off = run(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.WAVE_COST_BYTES -> "0"))
+    assert(banked == off, "extended-band stand-down must be perf-only")
+  }
+
   test("gate is perf-only: results identical banked vs off") {
     def run(conf: Seq[(String, String)]): Seq[String] =
       withConf(conf: _*) { fingerprint(spark.sql(filteredProbeSql)) }
