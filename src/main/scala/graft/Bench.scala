@@ -39,10 +39,12 @@ package graft
   * minima (contamination only inflates, so minima are already clean).
   * The claim is CROSS-CHECKED against the host calibration probes (see
   * [[appliedDrift]]): the raw median is emitted as `drift_median`,
-  * `drift_factor` is the calibration-gated value actually applied, and a
-  * median the probes can't explain keeps the raw headline and adds
-  * `drift_unexplained` to the cause list — so a uniform code tax in the
-  * binary under test cannot normalize itself away.
+  * `drift_factor` is the calibration-gated value actually applied —
+  * normalization is capped at 1.5x what the calibration ratio explains,
+  * so a PARTIALLY-explained median still normalizes up to that bound
+  * while also flagging `drift_unexplained`; only a clean-calibration box
+  * (cal_ratio <= 1.2) keeps the fully raw headline. A uniform code tax
+  * in the binary under test therefore cannot normalize itself away.
   */
 object Bench {
 
@@ -312,31 +314,48 @@ object Bench {
     if (loadBefore > Runtime.getRuntime.availableProcessors()) causes += "load"
     if (childContended) causes += "child_contended"
     val contended = causes.nonEmpty
-    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val guard = f""""load_before":$loadBefore%.2f,"load_after":${load1}%.2f,""" +
       s""""jvms_before":$jvmsBefore,"jvms_after":$jvmCount,""" +
       s""""reruns":$reruns,"contended":$contended,"forked":true,""" +
       f""""cal_cpu_ms":$calCpu%.1f,"cal_io_ms":$calIo%.1f,""" +
       s""""cause":"${causes.mkString("|")}""""
-    emit(results, total, guard, errJson, sfDir, outOverride = None)
+    emit(results, total, guard, errors.toSeq, sfDir, outOverride = None)
+  }
+
+  /** Bound the stdout error list so a degraded run (r17: 38 errors,
+    * 2,788-char line) cannot overflow the harness tail buffer — the full
+    * list always lands in bench_out.json / bench_full.json. */
+  private[graft] def stdoutErrors(errors: Seq[String],
+      maxEntries: Int = 3): Seq[String] = {
+    val d = errors.distinct
+    if (d.size <= maxEntries) d
+    else d.take(maxEntries) :+
+      s"+${d.size - maxEntries} more: see bench_out.json"
   }
 
   /** Writes target/bench_full.json (full names) + bench_out.json (short
     * ids) and prints the short one-line JSON — or, when `outOverride` is
     * set (a fork-mode child), writes the full-name line there and prints
-    * nothing parseable (the parent owns the stdout contract). */
+    * nothing parseable (the parent owns the stdout contract). NEVER
+    * crashes on an oversized line: r17's `require` here turned a bench
+    * that survived 38 sabotaged queries into rc=1 with no artifact —
+    * error entries are truncated to fit instead, and the structured files
+    * (written first) keep the full list. */
   private def emit(results: Seq[(String, Double)], total: Double,
-      guard: String, errJson: String, sfDir: String,
+      guard: String, errors: Seq[String], sfDir: String,
       outOverride: Option[java.nio.file.Path]): Unit = {
-    def jsonLine(keyed: Seq[(String, Double)]): String = {
+    def errJson(es: Seq[String]): String =
+      es.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(keyed: Seq[(String, Double)], errs: Seq[String]): String = {
       val qs = keyed.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$guard,"errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$guard,"errors":${errJson(errs)}}"""
     }
+    val fullErrors = errors.distinct
     outOverride match {
       case Some(p) =>
-        java.nio.file.Files.write(p,
-          jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(p, jsonLine(results, fullErrors)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None =>
         // The harness reading stdout keeps only a bounded tail (~2000
         // chars): with a full registry (~85 queries) the full-name map
@@ -344,22 +363,25 @@ object Bench {
         // parses. The stdout line therefore uses the short registry id
         // (the unique "q01"/"d04"/"v10" prefix) and the full-name JSON
         // goes to target/bench_full.json. Write the full-name file FIRST
-        // so a guard failure below still leaves the measured data on disk
+        // so a downstream failure still leaves the measured data on disk
         // instead of discarding the whole run.
         val full = java.nio.file.Paths.get("target", "bench_full.json")
         java.nio.file.Files.createDirectories(full.getParent)
-        java.nio.file.Files.write(full,
-          jsonLine(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(full, jsonLine(results, fullErrors)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val shortKeyed = results.map { case (k, v) => k.split('_').head -> v }
         require(shortKeyed.map(_._1).distinct.size == shortKeyed.size,
           "short registry ids must stay unique for the bench stdout line")
         // structured copy in cwd: future pin readers (and humans) get real
         // JSON instead of scraping the harness tail buffer
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-          jsonLine(shortKeyed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val line = jsonLine(shortKeyed)
-        require(line.length <= 1800,
-          s"bench stdout line ${line.length} chars would overflow the harness tail buffer")
+          jsonLine(shortKeyed, fullErrors)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var line = jsonLine(shortKeyed, stdoutErrors(fullErrors))
+        if (line.length > 1800 && fullErrors.nonEmpty) {
+          line = jsonLine(shortKeyed,
+            Seq(s"${fullErrors.size} errors: see bench_out.json"))
+        }
         // scalastyle:off println
         println(line)
         // scalastyle:on println
@@ -425,24 +447,29 @@ object Bench {
     }
     // integrity pass: re-measure pinned outliers (>2x the CALIBRATION-
     // NORMALIZED cross-round pin, with a 0.25s absolute floor so
-    // micro-query noise never triggers it) after waiting for the box to
-    // go quiet
+    // micro-query noise never triggers it) AND queries that ERRORED
+    // (r17: 38 transient SparkExceptions from sabotaged shuffle dirs
+    // shipped with reruns:0 — an error is at least as retry-worthy as a
+    // slow time), after waiting for the box to go quiet
     def inflated(name: String, t: Double): Boolean =
       pins.get(name.split('_').head).exists(pin =>
         t >= 0 && pin > 0 && t > 2 * calRatio * pin && t - pin > 0.25)
-    val outliers = results.filter { case (n, t) => inflated(n, t) }.map(_._1)
+    val outliers = results
+      .filter { case (n, t) => inflated(n, t) || t < 0 }.map(_._1)
     var rerun = 0
     if (outliers.nonEmpty) {
       // best-effort wait for the box to drain, then re-measure either way
       // (min-of-runs can only improve; a still-inflated result flags below)
       awaitQuiet(cores, budgetMs = 90000)
       results = results.map { case (name, t) =>
-        if (!inflated(name, t)) name -> t
+        if (!inflated(name, t) && t >= 0) name -> t
         else {
           rerun += 1
           val fn = named.find(_._1 == name).get._2
           val again = (1 to runs).flatMap(_ => timeOnce(name, fn))
-          name -> (if (again.isEmpty) t else math.min(t, again.min))
+          name -> (if (again.isEmpty) t
+            else if (t < 0) again.min
+            else math.min(t, again.min))
         }
       }
     }
@@ -461,7 +488,11 @@ object Bench {
     // like drift in the ratios, and only the host probes can tell
     if (driftMedian > 1.25 && drift < driftMedian - 1e-9)
       causes += "drift_unexplained"
-    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a query that errored but recovered on the integrity retry has a
+    // valid measured time — drop its stale error entry (the `reruns`
+    // count records that a retry happened)
+    val finalErrors = errors.toSeq.distinct.filterNot(e =>
+      results.exists { case (n, t) => t >= 0 && e.startsWith(n + ":") })
     val loadAfter = load1
     val jvmsAfter = jvmCount
     val guard = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
@@ -473,7 +504,7 @@ object Bench {
       f""""drift_factor":$drift%.3f,""" +
       f""""value_normalized":${total / drift}%.3f,""" +
       f""""cause":"${causes.mkString("|")}""""
-    emit(results, total, guard, errJson, sfDir, childOut)
+    emit(results, total, guard, finalErrors, sfDir, childOut)
     spark.stop()
   }
 }

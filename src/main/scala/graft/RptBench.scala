@@ -111,7 +111,14 @@ object RptBench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
         val rows = entries.map { case (name, mk) =>
           spark.conf.set("spark.graft.rpt.enabled", "false")
-          time(mk) // warmup, untimed
+          // SPARK_GRAFT_BENCH_WARMUP=0 skips the untimed warmup pass —
+          // for decade-scale legs (sf100: ~20 min per execution) the
+          // warmup would cost more wall-clock than the measurement; with
+          // interleaved (off, on) pairs and min-of-N, N>=2 absorbs the
+          // cold-start in the first pair and min discards it
+          if (!sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("0")) {
+            time(mk) // warmup, untimed
+          }
           val (offs, ons) = (1 to runs).map { _ =>
             spark.conf.set("spark.graft.rpt.enabled", "false")
             val off = time(mk)

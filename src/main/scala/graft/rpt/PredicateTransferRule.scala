@@ -386,10 +386,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     val bigBuildFraction =
       if (conf.autoBroadcastJoinThreshold > 0) 0.0
       else RptConf.bigBuildProbeFraction(conf)
-    def effMaxBuildRows(probeId: Int): Double =
-      if (bigBuildFraction <= 0) maxBuildRows
-      else math.max(maxBuildRows,
-        graph.units(probeId).card * bigBuildFraction)
+    // effMaxBuildRows is defined after the banked-gate keep machinery it
+    // consults (effective-card admission) — see below waveAdmitted
     val filteredOnly = RptConf.filteredBuildsOnly(conf)
     val skipBroadcastable = RptConf.skipBroadcastableBuilds(conf)
     val bcThreshold = conf.autoBroadcastJoinThreshold
@@ -633,11 +631,14 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
     // Filter would drag an arbitrary user subtree (over tables the gate's
     // byte ceiling never saw) into the count, and a non-deterministic
     // predicate would count a different sample than the query runs
-    def countSafe(p: LogicalPlan): Boolean = !p.exists {
-      case Filter(c, _) =>
-        c.exists(_.isInstanceOf[SubqueryExpression]) || !c.deterministic
-      case _ => false
-    }
+    // ALL node expressions, not just Filter conditions: simpleScan admits
+    // Project nodes, and a Filter over a non-deterministic projected alias
+    // (rand() AS x, Filter x < 5 — not pushable through the
+    // non-deterministic Project) would count a different sample than the
+    // query runs and cache a meaningless keep fraction
+    def countSafe(p: LogicalPlan): Boolean = !p.exists(n =>
+      n.expressions.exists(e =>
+        e.exists(_.isInstanceOf[SubqueryExpression]) || !e.deterministic))
     // measured keep fraction of a unit's OWN static filter. Preference:
     // the free footer/CBO estimate; else an EXACT planning-time count of
     // the filtered unit — only ever evaluated for single-leaf scans under
@@ -655,9 +656,16 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         } else None
       }
     })
+    // fpKeptMult > 0 is part of the band condition so that
+    // FILTERED_PROBE_KEPT_WAVE_MULTIPLE=0 fully disables the extension
+    // as its doc states — banking, the effective-bytes budget discount,
+    // and the effective-card admission are all extended-band-scoped, and
+    // keptMult=0 must make every one of them base-band-identical (before
+    // this, only extendFactor=0 was a full off-switch: keptMult=0 stopped
+    // banking but kept discounting budgets)
     def inExtendedBand(bytes: BigInt): Boolean =
       waveCost > 0 && filteredProbeMult > 0 && fpExtendF > 0 &&
-        bytes >= fpBase && bytes < fpBase * BigInt(fpExtendF)
+        fpKeptMult > 0 && bytes >= fpBase && bytes < fpBase * BigInt(fpExtendF)
     // EFFECTIVE probe bytes: the budget prices downstream payoff by the
     // data the probes cut, and for a statically-filtered probe site that
     // is the POST-FILTER stream, not the raw scan. Pricing 18b's 1.48 GB
@@ -758,6 +766,35 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         }
       }
     }
+
+    // Probe-relative big-build admission ceiling, on the probe's
+    // EFFECTIVE cardinality (VERDICT r17 #3, the JOBREAL_F2_r17 part-3
+    // diagnosis): the probe-relative path admits a build past the
+    // absolute cap because "a probe that dwarfs the build amortizes a
+    // bigger filter" — but the amortizing volume of a statically-filtered
+    // simple-scan probe is its POST-FILTER stream, not the raw scan. At
+    // factor 2, 18b's name build (8.33M items) rode in on cast_info's raw
+    // 72.5M rows while ci's own note-IN filter keeps ~10% (7.25M) — a
+    // build the size of the whole probe stream, costing a second
+    // name-table scan + a 32M-item-class filter against a probe that
+    // cannot repay it (builds 18.1 s vs a 14.3 s off-wall). Scoped
+    // exactly like effectiveUnitBytes: extended band + MEASURED keep only
+    // — base-band plans never reach the row counts where this path fires,
+    // and sf100's out-of-band facts (14 GB lineitem) keep raw pricing, so
+    // the r13-measured sf100 big-build wins (q27 shuffle trio
+    // 2.70x/3.43x/1.83x) are structurally untouched.
+    def effMaxBuildRows(probeId: Int): Double =
+      if (bigBuildFraction <= 0) maxBuildRows
+      else {
+        val u = graph.units(probeId)
+        val bytes = unitLeafBytes(probeId)
+        val keep =
+          if (inExtendedBand(bytes) && selectivelyFiltered(u.plan) &&
+              simpleScan(u.plan)) {
+            measuredKeep(probeId).filter(k => k >= 0 && k <= 1).getOrElse(1.0)
+          } else 1.0
+        math.max(maxBuildRows, u.card * keep * bigBuildFraction)
+      }
 
     val v2GateMemo = mutable.HashMap[Int, Boolean]()
     def v2BuildSmallEnough(id: Int, buildPlan: LogicalPlan): Boolean =

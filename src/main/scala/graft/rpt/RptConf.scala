@@ -292,8 +292,13 @@ object RptConf {
    *  scan. Making it probe-relative restores the reference's behavior
    *  exactly where it pays. Admitted-over-absolute builds size their
    *  bloom filter by BIG_BUILD_MAX_BF_ITEMS, not MAX_BF_ITEMS (a 10M-key
-   *  build in a 4M-item filter saturates to a pass-through). 0 disables
-   *  (absolute cap only). */
+   *  build in a 4M-item filter saturates to a pass-through). The probe
+   *  card is the EFFECTIVE one when the probe is a statically-filtered
+   *  simple scan in the banked gate's extended band with a MEASURED keep
+   *  (card x keep — JOBREAL_F2_r17 part 3: an 8.3M-item name build rode
+   *  in on cast_info's raw 72.5M rows while its own filter keeps ~10%);
+   *  out-of-band probes (sf100's 14 GB facts) keep raw pricing. 0
+   *  disables (absolute cap only). */
   val BIG_BUILD_PROBE_FRACTION = "spark.graft.rpt.bigBuildProbeFraction"
   /** Bloom-filter item cap for builds admitted through the probe-relative
    *  path (see BIG_BUILD_PROBE_FRACTION). 32M items = 32MB at the 8

@@ -181,6 +181,37 @@ class BenchGuardSuite extends AnyFunSuite {
     assert(Bench.driftFactor(errs, pins) === 1.0)
   }
 
+  test("degraded run: stdout error list is bounded, never a crash") {
+    // the r17 failure: 38 sabotage errors inflated the stdout JSON line
+    // to 2,788 chars and Bench.emit's `require` crashed the JVM with rc=1
+    // AFTER bench_out.json was written — a lost artifact. The stdout list
+    // must stay bounded (full list lives in bench_out.json).
+    val errs = (1 to 38).map(i => f"q$i%02d_name: SparkException")
+    val bounded = Bench.stdoutErrors(errs)
+    assert(bounded.size === 4, s"expected 3 entries + summary: $bounded")
+    assert(bounded.take(3) === errs.take(3))
+    assert(bounded.last.contains("35 more"),
+      s"summary entry must count the overflow: ${bounded.last}")
+    // duplicates collapse before bounding
+    assert(Bench.stdoutErrors(Seq("a: E", "a: E", "b: E")) ===
+      Seq("a: E", "b: E"))
+    // small lists pass through untouched
+    assert(Bench.stdoutErrors(Seq("x: E")) === Seq("x: E"))
+    // worst-case stdout JSON stays under the harness tail budget: 86
+    // short-id queries + the bounded error list
+    val qs = (1 to 86).map(i => f""""x$i%02d":12.345""").mkString(",")
+    val line = s"""{"metric":"total","value":999.999,"unit":"sec",""" +
+      s""""queries":{$qs},"sf":"/root/testdata/sf0.1",""" +
+      """"load_before":0.50,"load_after":0.50,"jvms_before":2,""" +
+      """"jvms_after":2,"reruns":38,"contended":true,""" +
+      """"cal_cpu_ms":180.0,"cal_io_ms":200.0,"cal_ratio":1.00,""" +
+      """"drift_median":1.000,"drift_factor":1.000,""" +
+      """"value_normalized":999.999,"cause":"inflated","errors":""" +
+      bounded.map("\"" + _ + "\"").mkString("[", ",", "]") + "}"
+    assert(line.length <= 1800,
+      s"bounded degraded line still too long: ${line.length}")
+  }
+
   test("calibration probes return positive, repeatable timings") {
     val cpu1 = Bench.cpuCalMs()
     val cpu2 = Bench.cpuCalMs()

@@ -249,4 +249,59 @@ class BfSizingSuite extends SparkTestBase {
     for (t <- Seq("lineitem", "orders"))
       spark.catalog.dropTempView(s"rel_$t")
   }
+
+  test("effective-card admission: a filtered in-band probe admits " +
+      "relative to its POST-FILTER stream") {
+    // VERDICT r17 #3 / JOBREAL_F2_r17 part 3: the probe-relative path
+    // admitted an 8.3M-item name build on cast_info's RAW 72.5M rows
+    // while ci's own filter keeps ~10% — the build is the size of the
+    // whole probe stream and can never be repaid. In the banked gate's
+    // extended band with a MEASURED keep, admission must price the
+    // probe's effective (keep x card) rows; keptMult=0 (the extension's
+    // full off-switch) restores raw pricing.
+    val sf01 = "/root/testdata/sf0.01"
+    for (t <- Seq("lineitem", "orders"))
+      spark.read.parquet(s"$sf01/$t.parquet").createOrReplaceTempView(s"eff_$t")
+    val liBytes = spark.table("eff_lineitem")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    // l_quantity < 3 keeps ~4% of lineitem (footer-priceable range);
+    // o_orderdate < 1992-06 keeps ~7% of orders (a selective build)
+    val sql =
+      """SELECT count(*) AS n
+        |FROM eff_lineitem
+        |JOIN eff_orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < DATE '1992-06-01' AND l_quantity < 3""".stripMargin
+    val base = Seq(RptConf.ENABLED -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RptConf.MIN_PROBE_ROWS -> "0",
+      RptConf.MIN_EDGES -> "1",
+      RptConf.MAX_BUILD_ROWS -> "1000", // orders (~15k) is over-absolute
+      // raw: 60k lineitem x 0.5 >= 15k orders -> admitted;
+      // effective: 60k x ~0.04 x 0.5 = ~1.2k < 15k -> gated
+      RptConf.BIG_BUILD_PROBE_FRACTION -> "0.5",
+      // place the lineitem probe site in the extended band
+      // (base = liBytes/2 <= liBytes < 4x base), budget non-binding
+      RptConf.MIN_PLAN_WORK_BYTES -> "0",
+      RptConf.WAVE_COST_BYTES -> "1",
+      RptConf.WAVE_BUILD_FRACTION -> "0.0",
+      RptConf.FILTERED_PROBE_WAVE_MULTIPLE -> (liBytes / 2).toString,
+      RptConf.FILTERED_PROBE_EXTEND_FACTOR -> "4")
+    // keptMult=1: band active, but the kept volume (~4% x scan) is over
+    // the 1-byte kept ceiling so the site is NOT banked — what this test
+    // sees is purely the admission pricing
+    withConf(base :+ (RptConf.FILTERED_PROBE_KEPT_WAVE_MULTIPLE -> "1"): _*) {
+      assert(bfAggs(sql).isEmpty,
+        "over-absolute build must be gated on the probe's effective card")
+      // perf-only: the gate must not change results
+      val on = fingerprint(spark.sql(sql))
+      val off = withConf(RptConf.ENABLED -> "false")(fingerprint(spark.sql(sql)))
+      assert(on === off)
+    }
+    withConf(base :+ (RptConf.FILTERED_PROBE_KEPT_WAVE_MULTIPLE -> "0"): _*) {
+      assert(bfAggs(sql).nonEmpty,
+        "keptMult=0 must restore raw-card probe-relative admission")
+    }
+    for (t <- Seq("lineitem", "orders"))
+      spark.catalog.dropTempView(s"eff_$t")
+  }
 }

@@ -166,6 +166,24 @@ class FilteredProbeSuite extends SparkTestBase {
       "extendFactor=0 must restore base-band-only behavior")
   }
 
+  test("extended band: keptMult=0 is a full off-switch (banks nothing)") {
+    // FILTERED_PROBE_KEPT_WAVE_MULTIPLE=0 must restore base-band-only
+    // behavior exactly like extendFactor=0 — before r18, keptMult=0
+    // stopped banking but the effective-bytes budget discount (and now
+    // the effective-card admission) still keyed off the band
+    val kept = withConf(extBandConf(keptMult = 0): _*) {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(kept > 0,
+      "keptMult=0 must restore base-band-only behavior")
+    val asExtOff = withConf(
+      extBandConf(keptMult = lineitemBytes, extendF = 0): _*) {
+      plannedBuilds(filteredProbeSql)
+    }
+    assert(kept == asExtOff,
+      s"keptMult=0 ($kept builds) must match extendFactor=0 ($asExtOff)")
+  }
+
   test("extended band: unknown keep does NOT bank (base-band prior only)") {
     // a scalar-subquery filter is unpriceable (footers/CBO can't, and
     // countSafe refuses to execute it) -> keep unknown -> the extended
