@@ -789,8 +789,8 @@ case class PredicateTransferRule() extends Rule[LogicalPlan]
         val u = graph.units(probeId)
         val bytes = unitLeafBytes(probeId)
         val keep =
-          if (inExtendedBand(bytes) && selectivelyFiltered(u.plan) &&
-              simpleScan(u.plan)) {
+          if (RptConf.bigBuildEffectiveCard(conf) && inExtendedBand(bytes) &&
+              selectivelyFiltered(u.plan) && simpleScan(u.plan)) {
             measuredKeep(probeId).filter(k => k >= 0 && k <= 1).getOrElse(1.0)
           } else 1.0
         math.max(maxBuildRows, u.card * keep * bigBuildFraction)

@@ -309,6 +309,14 @@ object RptConf {
    *  still clamps to the live session values so a user lowering them
    *  cannot trip the require. */
   val BIG_BUILD_MAX_BF_ITEMS = "spark.graft.rpt.bigBuildMaxBfItems"
+  /** Whether the probe-relative admission prices a statically-filtered
+   *  simple-scan probe in the banked gate's extended band at its MEASURED
+   *  post-filter cardinality (see BIG_BUILD_PROBE_FRACTION). true
+   *  (default) = effective-card pricing; false = raw-card pricing (the
+   *  r17 behavior). Exists so the admission can be measured in isolation
+   *  — every other extension switch (keptMult=0, extendFactor=0) turns
+   *  off banking and the budget discount with it. */
+  val BIG_BUILD_EFFECTIVE_CARD = "spark.graft.rpt.bigBuildEffectiveCard"
   /** Skip ops where build.card * ratio > probe.card. The reference's
    *  materializing CREATE_BF piggybacks the build on a scan the query
    *  performs anyway (physical_create_bf.cpp:201-242); Spark's subquery
@@ -612,6 +620,8 @@ object RptConf {
     conf.getConfString(BIG_BUILD_PROBE_FRACTION, "0.125").toDouble
   def bigBuildMaxBfItems(conf: SQLConf): Long =
     conf.getConfString(BIG_BUILD_MAX_BF_ITEMS, "33554432").toLong
+  def bigBuildEffectiveCard(conf: SQLConf): Boolean =
+    conf.getConfString(BIG_BUILD_EFFECTIVE_CARD, "true").toBoolean
   def minBuildProbeRatio(conf: SQLConf): Double =
     conf.getConfString(MIN_BUILD_PROBE_RATIO, "1.0").toDouble
   def maxBfItems(conf: SQLConf): Long =

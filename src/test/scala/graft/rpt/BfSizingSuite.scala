@@ -301,6 +301,15 @@ class BfSizingSuite extends SparkTestBase {
       assert(bfAggs(sql).nonEmpty,
         "keptMult=0 must restore raw-card probe-relative admission")
     }
+    // the admission's own isolation flag: raw-card pricing WITHOUT
+    // touching banking or the budget discount (for A/B measurement)
+    withConf(base ++ Seq(
+      RptConf.FILTERED_PROBE_KEPT_WAVE_MULTIPLE -> "1",
+      RptConf.BIG_BUILD_EFFECTIVE_CARD -> "false"): _*) {
+      assert(bfAggs(sql).nonEmpty,
+        "bigBuildEffectiveCard=false must restore raw-card admission " +
+          "with the extension otherwise active")
+    }
     for (t <- Seq("lineitem", "orders"))
       spark.catalog.dropTempView(s"eff_$t")
   }
